@@ -1,0 +1,147 @@
+"""Crawl semantics constants + run configuration.
+
+The regex/pattern tables below are *behavioral data* of the reference
+system (what to match), transcribed from:
+
+- product PATTERNS:        /root/reference/worker/src/utils/config.py:44-74
+- DOMAIN_PATTERNS:         /root/reference/worker/src/utils/config.py:79-102
+- PAGINATION_PATTERNS:     /root/reference/worker/src/utils/config.py:105-115
+- pagination text markers: /root/reference/worker/src/tasks.py:89
+- tracking query params:   /root/reference/worker/src/tasks.py:32-33
+- category priority:       /root/reference/worker/src/tasks.py:514-517
+- important-URL retry:     /root/reference/worker/src/tasks.py:595
+- sequential-number pats:  /root/reference/worker/src/tasks.py:120-126
+- parser cascade order:    /root/reference/worker/src/utils/config.py:207
+- frontier cap 500:        /root/reference/worker/src/tasks.py:529
+- early-exit threshold 5:  /root/reference/worker/src/tasks.py:632
+- seq-gen caps (3/10/30):  /root/reference/worker/src/tasks.py:114,132,163
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# --- product-URL patterns (SimpleParser / "default" config key) -----------
+PATTERNS: list[str] = [
+    r"/product[s]?/[a-zA-Z0-9-_]+",
+    r"/item[s]?/[a-zA-Z0-9-_]+",
+    r"/p/[a-zA-Z0-9-_]+",
+    r"/products?(?:[-/][a-zA-Z0-9-_]+)+",
+    r"/shop/[a-zA-Z0-9-_]+",
+    r"/store/[^/]+/product[s]?/[a-zA-Z0-9-_]+",
+    r"/category/[^/]+/[a-zA-Z0-9-_]+",
+    r"/detail[s]?/[a-zA-Z0-9-_]+",
+    r"/pd[x]?/[a-zA-Z0-9-_]+",
+    r"/buy/[a-zA-Z0-9-_]+",
+    r"/goods/[a-zA-Z0-9-_]+",
+    r"/item-[0-9]+\.html",
+    r"/[a-zA-Z0-9-_]+-p-\d+",
+    r"/collection[s]?/[a-zA-Z0-9-_]+",
+    r"/category/[a-zA-Z0-9-_]+",
+    r"/department/[a-zA-Z0-9-_]+",
+    r"/dp/[A-Z0-9]+",
+    r"/gp/product/[A-Z0-9]+",
+    r"/[A-Z0-9]{10,}",
+    r"product_id=\d+",
+    r"item_id=\d+",
+    r"pid=\d+",
+]
+
+# --- domain-keyed pattern sets; dict INSERTION ORDER is load-bearing -------
+# (ConfigParser picks the first key whose regex re.search-es the page
+# netloc, iterating in insertion order — config_parser.py:29-32.)
+DOMAIN_PATTERNS: dict[str, list[str]] = {
+    "default": PATTERNS,
+    "amazon": [
+        r"/dp/[A-Z0-9]{10}",
+        r"/gp/product/[A-Z0-9]{10}",
+    ],
+    "shopify": [
+        r"/products/[a-zA-Z0-9-]+",
+        r"/collections/[^/]+/products/[a-zA-Z0-9-]+",
+    ],
+    "woocommerce": [
+        r"/product/[a-zA-Z0-9-]+",
+        r"/shop/[a-zA-Z0-9-]+",
+    ],
+    "magento": [
+        r"/catalog/product/view/id/\d+",
+        r"/[a-zA-Z0-9-]+\.html",
+    ],
+    "bigcommerce": [
+        r"/products/[a-zA-Z0-9-]+",
+        r"/[a-zA-Z0-9-]+-p\d+",
+    ],
+}
+
+PAGINATION_PATTERNS: list[str] = [
+    r"[?&]page=\d+",
+    r"[?&]p=\d+",
+    r"/page/\d+",
+    r"/p/\d+$",
+    r"-page-\d+",
+    r"_p\d+",
+    r"offset=\d+",
+    r"start=\d+",
+    r"from=\d+",
+]
+
+# anchor-TEXT pagination indicators (substring match on stripped+lowered text)
+PAGINATION_TEXT_MARKERS: list[str] = ["next", "page", "»", ">", "load more", "show more"]
+
+# query-param names dropped by normalize_url (SUBSTRING match on param name)
+TRACKING_PARAM_SUBSTRINGS: list[str] = [
+    "utm_source", "utm_medium", "utm_campaign", "ref", "session",
+    "tracking", "click", "affiliate", "source",
+]
+
+CATEGORY_PRIORITY_PATTERNS: list[str] = [
+    r"/category/", r"/collection", r"/products?/", r"/shop/",
+    r"/department/", r"/catalog/", r"/items?/",
+]
+
+IMPORTANT_URL_KEYWORDS: list[str] = ["product", "category", "collection"]
+
+SEQUENTIAL_NUMBER_PATTERNS: list[str] = [
+    r"/(\d+)(?:/|$)",
+    r"p=(\d+)",
+    r"page=(\d+)",
+    r"-p(\d+)",
+    r"_(\d+)\.html",
+]
+
+# parser cascade order; "ai" is a deterministic stub (returns nothing) —
+# live-LLM parsing is out of scope, the cascade slot is kept for parity.
+PARSER_CASCADE: list[str] = ["simple", "config", "ai"]
+PARSER_NAMES: list[str] = ["simple", "config", "ai", "sequential"]
+
+FRONTIER_CAP_PER_DOMAIN = 500     # tasks.py:529
+CASCADE_EARLY_EXIT = 5            # tasks.py:632
+SEQGEN_MIN_PRODUCTS = 3           # tasks.py:114
+SEQGEN_SAMPLE = 10                # tasks.py:132
+SEQGEN_MAX_URLS = 30              # tasks.py:112
+
+
+def combined_regex(patterns: list[str]) -> str:
+    """OR-combine a pattern list into one regex (compiled once JVM-side)."""
+    return "(?:" + ")|(?:".join(patterns) + ")"
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """One crawl run. ``politeness_budget`` None = unbounded (reference
+    parity mode: one round == one BFS depth, exactly tasks.py:415-544).
+    A finite budget caps fetches per host per round (the scale path);
+    unscheduled frontier rows carry over to the next round."""
+
+    max_depth: int = 3
+    politeness_budget: int | None = None
+    frontier_cap: int = FRONTIER_CAP_PER_DOMAIN
+    seed: int = 42
+    task_id: str = "task-0"
+    shuffle_partitions: int = 32
+    salt_partitions: int = 32     # host-hash salting fan-out for skew
+    use_bloom: bool = False       # bloom-bucket seen filter (scale path)
+    bloom_buckets: int = 64
+    bloom_fpp: float = 0.01
+    bloom_capacity_per_bucket: int = 1_000_000

@@ -1,0 +1,179 @@
+"""H1 — the payload operator: HTML → ordered interleaved spans
+(kind, text, media_ref, offset), per BASELINE.json input_hint.
+
+Replaces the reference's per-URL BeautifulSoup loops
+(/root/reference/worker/src/tasks.py:55-110 ``find_urls``,
+/root/reference/worker/src/parsers/_pattern_parser.py:25-36) with ONE
+Arrow-batched pandas UDF producing the spans array; every downstream
+view (links, pagination, product candidates) is a native Spark
+``explode``/``filter`` over the array — no further Python.
+
+Span semantics (shared contract with the pytest oracle,
+oracle/refparser.py — implemented independently on each side):
+- document order; offset = 0-based span index
+- text nodes (outside anchors, stripped non-empty)   → kind='text'
+- <a href> → media_ref = urljoin(base, href); internal anchors that the
+  reference would classify as pagination (text markers on stripped
+  lowered anchor text, tasks.py:88-91, OR pagination regex on the RAW
+  href, tasks.py:94-98) → kind='pagination'; all other anchors
+  (including external) → kind='link'; empty-href anchors skipped
+- <img src> → kind='media', media_ref = urljoin(base, src), text=null
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Optional
+from urllib.parse import urljoin, urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType
+
+from webcrawlerfull_spark import config as C
+from webcrawlerfull_spark import schemas
+from webcrawlerfull_spark.html_tokens import tokenize
+from webcrawlerfull_spark.synthgen import World
+
+_PAG_RES = [re.compile(p) for p in C.PAGINATION_PATTERNS]
+_PAG_MARKERS = tuple(C.PAGINATION_TEXT_MARKERS)
+
+
+def _classify_anchor(text: str, href: str) -> bool:
+    t = (text or "").strip().lower()
+    if any(m in t for m in _PAG_MARKERS):
+        return True
+    return any(r.search(href or "") for r in _PAG_RES)
+
+
+def spans_of(html: str, base_url: str, domain_netloc: str) -> list[dict]:
+    """One document → its spans list (engine implementation)."""
+    out: list[dict] = []
+    n = 0
+    for ev in tokenize(html):
+        if ev[0] == "text":
+            chunk = ev[1].strip()
+            if not chunk:
+                continue
+            out.append({"kind": "text", "text": chunk, "media_ref": None, "offset": n})
+        elif ev[0] == "anchor":
+            href, text = ev[1], ev[2]
+            if not href:
+                continue
+            full = urljoin(base_url, href)
+            netloc = urlparse(full).netloc
+            internal = (not netloc) or netloc == domain_netloc
+            kind = (
+                "pagination"
+                if internal and _classify_anchor(text, href)
+                else "link"
+            )
+            out.append(
+                {"kind": kind, "text": text.strip(), "media_ref": full, "offset": n}
+            )
+        else:  # media
+            out.append(
+                {
+                    "kind": "media",
+                    "text": None,
+                    "media_ref": urljoin(base_url, ev[1]),
+                    "offset": n,
+                }
+            )
+        n += 1
+    return out
+
+
+@pandas_udf(ArrayType(schemas.SPAN))
+def parse_spans_udf(
+    html: pd.Series, base_url: pd.Series, domain_netloc: pd.Series
+) -> pd.Series:
+    """Arrow-batched scalar UDF: html → array<struct<kind,text,media_ref,offset>>."""
+    return pd.Series(
+        [
+            spans_of(h, b, d) if isinstance(h, str) else None
+            for h, b, d in zip(html, base_url, domain_netloc)
+        ]
+    )
+
+
+def fetch_and_parse(frontier: DataFrame, world: World) -> DataFrame:
+    """S1/S2+H1 — the fetch+parse stage over a scheduled frontier slice.
+
+    ``mapInPandas`` so fetch (deterministic synthetic, synthgen.World —
+    replaces aiohttp, fetcher.py:227-269) and parse happen in one pass
+    with no HTML ever shuffled. Input must carry
+    (url, host, domain, depth, priority, discovery_seq); output is
+    schemas.PARSED_PAGE. Failed fetches keep the row with status='failed'
+    and null spans (the reference marks them visited but parses nothing,
+    tasks.py:600-602).
+    """
+    cols = ["url", "host", "domain", "depth", "priority", "discovery_seq"]
+    inp = frontier.select(*cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            spans_col: list[Optional[list]] = []
+            status: list[str] = []
+            for url, host in zip(pdf["url"], pdf["host"]):
+                html = world.fetch(url)
+                if html is None:
+                    status.append("failed")
+                    spans_col.append(None)
+                else:
+                    status.append("ok")
+                    spans_col.append(spans_of(html, url, host))
+            out = pdf.copy()
+            out["status"] = status
+            out["doc_id"] = pdf["url"]
+            out["spans"] = spans_col
+            yield out[
+                [
+                    "url",
+                    "host",
+                    "domain",
+                    "depth",
+                    "priority",
+                    "discovery_seq",
+                    "status",
+                    "doc_id",
+                    "spans",
+                ]
+            ]
+
+    return inp.mapInPandas(gen, schema=schemas.PARSED_PAGE)
+
+
+# ---- native views over the spans table (zero Python from here on) --------
+
+def links_view(documents: DataFrame, doc_cols: list[str] | None = None) -> DataFrame:
+    """Explode link/pagination spans → one row per anchor, document order
+    preserved via (doc, offset)."""
+    doc_cols = doc_cols or ["doc_id"]
+    return (
+        documents.select(*doc_cols, F.explode("spans").alias("span"))
+        .where(F.col("span.kind").isin("link", "pagination"))
+        .select(
+            *doc_cols,
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("anchor_text"),
+            F.col("span.media_ref").alias("link_url"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
+def media_view(documents: DataFrame, doc_cols: list[str] | None = None) -> DataFrame:
+    doc_cols = doc_cols or ["doc_id"]
+    return (
+        documents.select(*doc_cols, F.explode("spans").alias("span"))
+        .where(F.col("span.kind") == "media")
+        .select(
+            *doc_cols,
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )

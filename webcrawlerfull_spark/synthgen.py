@@ -1,0 +1,259 @@
+"""Deterministic synthetic web world.
+
+Every page is a pure function of ``(seed, url)`` — any executor can render
+any page with no stored HTML, which is how a 10^10-URL frontier stays
+*addressable* while only the crawled slice is ever materialized
+(FIXTURES.md §2). No network, no wall-clock, no global state.
+
+World grammar (per host, all parameters derived from a stable digest of
+``seed|host``):
+
+    /                              home: links to categories, about, blog
+    /category/c{j}                 category page 0
+    /category/c{j}?page={n}        category pagination (n >= 2)
+    <product paths per platform flavor — see _FLAVORS>
+    /about, /blog/post-{k}         text pages
+    external links, tracking-param links, media imgs sprinkled in
+
+Host *flavors* exercise every DOMAIN_PATTERNS key of the reference
+(/root/reference/worker/src/utils/config.py:79-102): the ConfigParser
+picks its pattern set by regex-matching the key against the netloc, so
+flavor substrings are embedded in hostnames.
+
+Hot-domain skew: host page counts follow a Zipf-ish rank^-a law so one
+host dominates — exercises salting (SURVEY.md §4 custom work #2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass
+from urllib.parse import urlparse
+
+
+def _digest(*parts) -> int:
+    h = hashlib.sha256("|".join(str(p) for p in parts).encode()).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+def _rng(*parts) -> random.Random:
+    return random.Random(_digest(*parts))
+
+
+# flavor -> (name template, product path builder)
+_FLAVORS = [
+    ("store", lambda k: f"/p/{k}"),                          # default patterns; seq /(\d+)(?:/|$)
+    ("shopify", lambda k: f"/products/widget-{k}"),          # shopify patterns
+    ("amazon", lambda k: f"/dp/B{k:09d}"),                   # amazon /dp/[A-Z0-9]{10}
+    ("woocommerce", lambda k: f"/product/widget-{k}"),       # woocommerce
+    ("magento", lambda k: f"/catalog/product/view/id/{k}"),  # magento; seq /(\d+)$
+    ("bigcommerce", lambda k: f"/gizmo-p{k}"),               # bigcommerce; seq -p(\d+)
+]
+
+
+@dataclass(frozen=True)
+class World:
+    seed: int = 42
+    n_hosts: int = 12
+    base_pages: int = 60          # rank-1 host category*product budget scale
+    zipf_a: float = 1.1
+    fail_rate: float = 0.02       # deterministic fetch failures
+
+    # ---- host enumeration -------------------------------------------------
+    def hosts(self) -> list[dict]:
+        out = []
+        for rank in range(1, self.n_hosts + 1):
+            flavor, _ = _FLAVORS[(rank - 1) % len(_FLAVORS)]
+            host = f"www.{flavor}{rank}.example.com"
+            n_pages = max(6, int(self.base_pages * rank ** (-self.zipf_a)))
+            out.append({"host": host, "n_pages": n_pages, "zipf_rank": rank})
+        return out
+
+    def seeds(self) -> list[str]:
+        return [f"https://{h['host']}" for h in self.hosts()]
+
+    # ---- per-host derived parameters --------------------------------------
+    def _host_rank(self, host: str) -> int | None:
+        # O(1) inverse of the hosts() naming scheme (runs per-URL in the
+        # fetch UDF — no scans)
+        labels = host.split(".")
+        if len(labels) != 4 or labels[0] != "www" or labels[2:] != ["example", "com"]:
+            return None
+        name = labels[1]
+        flavor = name.rstrip("0123456789")
+        digits = name[len(flavor):]
+        if not digits.isdigit():
+            return None
+        rank = int(digits)
+        if not (1 <= rank <= self.n_hosts):
+            return None
+        if _FLAVORS[(rank - 1) % len(_FLAVORS)][0] != flavor:
+            return None
+        return rank
+
+    def _host_params(self, host: str) -> dict | None:
+        rank = self._host_rank(host)
+        if rank is None:
+            return None
+        n_pages = max(6, int(self.base_pages * rank ** (-self.zipf_a)))
+        g = _rng(self.seed, host, "params")
+        n_categories = 2 + g.randrange(2)
+        products_per_cat_page = 3 + g.randrange(3)
+        # pagination depth absorbs the page budget
+        pag_pages = max(1, n_pages // (n_categories * products_per_cat_page))
+        flavor = host.split(".")[1].rstrip("0123456789")
+        builder = dict(_FLAVORS)[flavor]
+        return {
+            "rank": rank,
+            "n_categories": n_categories,
+            "per_page": products_per_cat_page,
+            "pag_pages": min(4, pag_pages),
+            "flavor": flavor,
+            "product_path": builder,
+        }
+
+    # ---- URL classification (the grammar) ----------------------------------
+    def _classify(self, url: str):
+        """Return (host, kind, args) or None if the URL is outside the world."""
+        p = urlparse(url)
+        host = p.netloc.lower()
+        params = self._host_params(host)
+        if params is None or p.scheme not in ("http", "https"):
+            return None
+        path = p.path.rstrip("/")
+        query = p.query
+        if path == "" and not query:
+            return host, "home", ()
+        if path == "/about":
+            return host, "about", ()
+        if path.startswith("/blog/post-"):
+            return host, "blog", (path[len("/blog/post-"):],)
+        if path.startswith("/category/c"):
+            cat_s = path[len("/category/c"):]
+            if not cat_s.isdigit():
+                return None
+            cat = int(cat_s)
+            if cat >= params["n_categories"]:
+                return None
+            page = 1
+            if query:
+                kv = dict(
+                    q.split("=", 1) for q in query.split("&") if "=" in q
+                )
+                kv = {k: v for k, v in kv.items() if k == "page"}
+                if kv:
+                    if not kv["page"].isdigit():
+                        return None
+                    page = int(kv["page"])
+            if not (1 <= page <= params["pag_pages"]):
+                return None
+            return host, "category", (cat, page)
+        pid = self._product_id_of(path, params)
+        if pid is not None:
+            total = params["n_categories"] * params["pag_pages"] * params["per_page"]
+            if 0 <= pid < total:
+                return host, "product", (pid,)
+        return None
+
+    def _product_id_of(self, path: str, params) -> int | None:
+        flavor = params["flavor"]
+        try:
+            if flavor == "store" and path.startswith("/p/"):
+                return int(path[3:])
+            if flavor == "shopify" and path.startswith("/products/widget-"):
+                return int(path[len("/products/widget-"):])
+            if flavor == "amazon" and path.startswith("/dp/B"):
+                return int(path[len("/dp/B"):])
+            if flavor == "woocommerce" and path.startswith("/product/widget-"):
+                return int(path[len("/product/widget-"):])
+            if flavor == "magento" and path.startswith("/catalog/product/view/id/"):
+                return int(path[len("/catalog/product/view/id/"):])
+            if flavor == "bigcommerce" and path.startswith("/gizmo-p"):
+                return int(path[len("/gizmo-p"):])
+        except ValueError:
+            return None
+        return None
+
+    def page_exists(self, url: str) -> bool:
+        return self._classify(url) is not None
+
+    # ---- the fetcher --------------------------------------------------------
+    def fetch(self, url: str) -> str | None:
+        """Deterministic stand-in for fetch_page_async
+        (/root/reference/worker/src/utils/fetcher.py:227-269): returns the
+        page HTML, or None for out-of-world URLs and a deterministic
+        ``fail_rate`` slice of real ones (a retry — tasks.py:594-601 —
+        deterministically fails again)."""
+        c = self._classify(url)
+        if c is None:
+            return None
+        if (_digest(self.seed, url, "fail") % 10_000) < int(self.fail_rate * 10_000):
+            return None
+        return self.render(url)
+
+    # ---- HTML rendering ------------------------------------------------------
+    def render(self, url: str) -> str:
+        c = self._classify(url)
+        if c is None:
+            raise ValueError(f"URL outside world: {url}")
+        host, kind, args = c
+        params = self._host_params(host)
+        g = _rng(self.seed, url, "html")
+        base = f"https://{host}"
+        parts = [f"<html><head><title>{kind} @ {host}</title></head><body>"]
+        parts.append(f"<h1>{kind.title()} page</h1>")
+        parts.append(f"<p>Welcome to {host}, a fine {params['flavor']} shop.</p>")
+
+        def a(href, text):
+            parts.append(f'<a href="{href}">{text}</a>')
+
+        if kind == "home":
+            for j in range(params["n_categories"]):
+                a(f"/category/c{j}", f"Category {j}")
+            a("/about", "About us")
+            a(f"/blog/post-{g.randrange(3)}", "From the blog")
+            # a couple of featured products (absolute URLs)
+            for pid in (0, params["per_page"]):
+                a(base + params["product_path"](pid), f"Featured {pid}")
+            a("https://www.elsewhere.example.org/deals", "Partner deals")  # external
+            parts.append('<img src="/img/banner.png">')
+        elif kind == "category":
+            cat, page = args
+            start = (cat * params["pag_pages"] + (page - 1)) * params["per_page"]
+            for i in range(params["per_page"]):
+                pid = start + i
+                href = params["product_path"](pid)
+                if i % 3 == 2:
+                    href += "?utm_source=home&ref=cat"  # tracking params
+                a(href, f"Product {pid}")
+                if i % 2 == 0:
+                    parts.append(f'<img src="/img/thumb-{pid}.jpg">')
+            parts.append(f"<p>Showing page {page} of category {cat}.</p>")
+            if page < params["pag_pages"]:
+                a(f"/category/c{cat}?page={page + 1}", "Next »")
+            if page > 1:
+                a(f"/category/c{cat}?page={page - 1}", "« prev page")
+            a("/", "Back home")
+        elif kind == "product":
+            (pid,) = args
+            parts.append(f"<p>Product {pid}: a very nice item, SKU-{pid}.</p>")
+            parts.append(f'<img src="/img/product-{pid}-main.jpg">')
+            parts.append(f'<img src="/img/product-{pid}-alt.jpg">')
+            cat = (pid // (params["pag_pages"] * params["per_page"])) % params["n_categories"]
+            a(f"/category/c{cat}", "Back to category")
+            total = params["n_categories"] * params["pag_pages"] * params["per_page"]
+            for rel in ((pid + 1) % total, (pid + 7) % total):
+                a(params["product_path"](rel), f"<b>Related</b> item {rel}")
+            a("", "broken anchor")  # empty href: reference skips it (tasks.py:76-77)
+            parts.append("<p>Reviews &amp; ratings: ★★★★</p>")
+        elif kind == "about":
+            parts.append(f"<p>About {host}. We sell things since 2020.</p>")
+            a("/", "home")
+            a("https://www.partner.example.net/", "our partner")  # external
+        elif kind == "blog":
+            parts.append(f"<p>Blog post {args[0]} with musings about commerce.</p>")
+            a("/", "home")
+            a(f"/category/c{g.randrange(params['n_categories'])}", "shop now >")
+        parts.append("</body></html>")
+        return "".join(parts)
