@@ -1,38 +1,575 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship parse→products pipeline over sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2, checked against DuckDB at sf0.01.
+
+Both sides of every check consume the SAME derived URL corpus: the
+``CORPUS_SQL`` snippet is valid in Spark SQL and DuckDB simultaneously
+and is evaluated by each engine over the same parquet `part` table, so
+the inputs are bit-identical by construction.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webcrawlerfull_spark import config as C  # noqa: E402
+from webcrawlerfull_spark.functions import predicates as P  # noqa: E402
+from webcrawlerfull_spark.functions.urlnorm import normalize_url  # noqa: E402
+from webcrawlerfull_spark.operators import seqgen  # noqa: E402
+from webcrawlerfull_spark.operators.aggregates import urls_count_by_domain  # noqa: E402
+from webcrawlerfull_spark.operators.attribution import first_touch  # noqa: E402
+from webcrawlerfull_spark.operators.parse_spans import links_view, parse_spans_udf  # noqa: E402
+from webcrawlerfull_spark.plans.round import politeness_schedule  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared URL corpus — ONE SQL text, evaluated by both engines
+# ---------------------------------------------------------------------------
+
+CORPUS_SQL = """
+SELECT
+  p_partkey AS seq,
+  'https://www.' ||
+    CASE CAST(p_partkey % 6 AS INT)
+      WHEN 0 THEN 'store' WHEN 1 THEN 'shopify' WHEN 2 THEN 'amazon'
+      WHEN 3 THEN 'woocommerce' WHEN 4 THEN 'magento' ELSE 'bigcommerce'
+    END || CAST(p_partkey % 7 AS INT) || '.example.com' ||
+    CASE CAST(p_partkey % 5 AS INT)
+      WHEN 0 THEN '/product/widget-' || p_partkey
+      WHEN 1 THEN '/category/c' || CAST(p_partkey % 10 AS INT)
+      WHEN 2 THEN '/p/' || p_partkey
+      WHEN 3 THEN '/blog/post-' || p_partkey
+      ELSE '/item-' || p_partkey || '.html'
+    END ||
+    CASE CAST(p_partkey % 4 AS INT)
+      WHEN 0 THEN ''
+      WHEN 1 THEN '?page=' || CAST(p_partkey % 20 AS INT)
+      WHEN 2 THEN '?utm_source=feed&id=' || p_partkey
+      ELSE '?ref=mail&p=' || CAST(p_partkey % 9 AS INT)
+    END ||
+    CASE WHEN p_partkey % 11 = 0 AND p_partkey % 4 = 0 THEN '/' ELSE '' END
+  AS url
+FROM part
+"""
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# regexes shared verbatim by rlike (Java) and regexp_matches (RE2) — the
+# pattern tables use no constructs outside the common subset
+_SIMPLE_RE = P.SIMPLE_COMBINED
+_PAG_RE = P.PAGINATION_COMBINED
+_CAT_RE = P.CATEGORY_COMBINED
+_TRACKING_RE = "|".join(C.TRACKING_PARAM_SUBSTRINGS)
+_DOMAIN_RE = {k: C.combined_regex(v) for k, v in C.DOMAIN_PATTERNS.items()}
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql(CORPUS_SQL)
+
+
+def _netloc(col):
+    return P.url_authority(col)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: documents → spans → product extraction (SURVEY.md §7
+# step 1: "given a table of fetched documents, produce the deduplicated,
+# attributed product-URL table")
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # render a deterministic synthetic page per document row (pure column
+    # expressions), then run the real parse pipeline on it
+    host = F.concat(F.lit("www.shop"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com"))
+    base = F.concat(
+        F.lit("https://"), host, F.lit("/category/c"), (F.col("doc_id") % 3).cast("string")
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.substring("text", 1, 80),
+        F.lit('</p><a href="/product/widget-'),
+        F.col("doc_id").cast("string"),
+        F.lit('">Product</a><a href="/p/'),
+        (F.col("doc_id") * 3 % 1000).cast("string"),
+        F.lit('">item <b>'),
+        F.col("lang"),
+        F.lit('</b></a><a href="?page='),
+        (F.col("doc_id") % 5 + 2).cast("string"),
+        F.lit('">Next »</a><a href="https://ext.example.org/x">out</a>'),
+        F.lit('<img src="/img/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.png"></body></html>'),
+    )
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        base.alias("page_url"),
+        host.alias("netloc"),
+        html.alias("html"),
+    ).withColumn("spans", parse_spans_udf("html", "page_url", "netloc"))
+
+    links = links_view(pages.select("doc_id", "spans"), ["doc_id"])
+    products = (
+        links.where(P.is_product_url(F.col("link_url")))
+        .select(
+            F.col("doc_id"),
+            P.rstrip_slash(F.col("link_url")).alias("product_url"),
+            normalize_url(F.col("link_url")).alias("normalized_url"),
+        )
+        .dropDuplicates(["product_url"])
+    )
+    return products
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark implementations
+# ---------------------------------------------------------------------------
+
+def _q_normalize(spark, sf_dir):
+    return _corpus(spark, sf_dir).select(
+        "seq", "url", normalize_url(F.col("url")).alias("norm")
+    )
+
+
+def _q_pagination(spark, sf_dir):
+    return _corpus(spark, sf_dir).select(
+        "seq",
+        "url",
+        P.is_pagination_url(F.col("url")).alias("is_pagination"),
+    )
+
+
+def _q_product_match(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return (
+        c.where(P.is_product_url(F.col("url")))
+        .select(P.rstrip_slash(F.col("url")).alias("product_url"))
+        .distinct()
+    )
+
+
+def _q_config_key(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return (
+        c.select(P.config_key(_netloc(F.col("url"))).alias("config_key"))
+        .groupBy("config_key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_config_match(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    key = P.config_key(_netloc(F.col("url")))
+    return (
+        c.where(P.config_product_match(F.col("url"), key))
+        .select(P.rstrip_slash(F.col("url")).alias("product_url"))
+        .distinct()
+    )
+
+
+def _q_category_priority(spark, sf_dir):
+    return _corpus(spark, sf_dir).select(
+        "seq", "url", P.category_priority(F.col("url")).alias("priority")
+    )
+
+
+def _q_frontier_topk(spark, sf_dir, cap=15):
+    from pyspark.sql import Window
+
+    c = _corpus(spark, sf_dir).select(
+        "seq",
+        "url",
+        _netloc(F.col("url")).alias("domain"),
+        P.category_priority(F.col("url")).alias("priority"),
+    )
+    w_cnt = Window.partitionBy("domain")
+    c = c.withColumn("_cnt", F.count("*").over(w_cnt)).withColumn(
+        "_eff",
+        F.when(F.col("_cnt") > cap, F.col("priority")).otherwise(F.lit(0)),
+    )
+    w = Window.partitionBy("domain").orderBy("_eff", "seq")
+    return (
+        c.withColumn("queue_pos", F.row_number().over(w) - 1)
+        .where(F.col("queue_pos") < cap)
+        .select("domain", "url", "queue_pos")
+    )
+
+
+def _q_politeness(spark, sf_dir, budget=5):
+    c = _corpus(spark, sf_dir).select(
+        "url",
+        _netloc(F.col("url")).alias("host"),
+        F.lit("d").alias("domain"),
+        F.lit(0).alias("depth"),
+        P.category_priority(F.col("url")).alias("priority"),
+        F.col("seq").alias("discovery_seq"),
+        F.lit(0).alias("salt_bucket"),
+        F.lit(0).alias("round"),
+        F.col("seq").alias("queue_pos"),
+    )
+    scheduled, _deferred = politeness_schedule(c, budget, salt_partitions=8)
+    return scheduled.select("host", "url")
+
+
+def _q_seen_antijoin(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    seen = c.where(F.col("seq") % 3 == 0).select("url")
+    return c.join(seen, "url", "left_anti").select("url")
+
+
+def _q_first_touch(spark, sf_dir):
+    _register(spark, sf_dir)
+    mentions = spark.sql(
+        """
+        SELECT 'u' || CAST(l_partkey % 500 AS INT) AS url,
+               CASE CAST(l_linenumber % 4 AS INT)
+                 WHEN 0 THEN 'simple' WHEN 1 THEN 'config'
+                 WHEN 2 THEN 'ai' ELSE 'sequential' END AS parser,
+               l_orderkey AS ord1, l_linenumber AS ord2
+        FROM lineitem
+        """
+    )
+    firsts = first_touch(mentions, ["ord1", "ord2"])
+    return firsts.groupBy("parser").agg(F.count("*").alias("n_first"))
+
+
+def _q_urls_per_domain(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    products = c.where(P.is_product_url(F.col("url"))).select(
+        _netloc(F.col("url")).alias("domain"),
+        P.rstrip_slash(F.col("url")).alias("url"),
+    )
+    return urls_count_by_domain(products)
+
+
+def _q_seqgen(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    pp = c.where(F.col("seq") % 5 == 2).select(
+        F.concat(F.lit("pg"), (F.col("seq") % 40).cast("string")).alias("page_url"),
+        F.col("url"),
+    )
+    return seqgen.generate_sequential_urls(pp, "page_url", "url").select(
+        "page_url", "url"
+    )
+
+
+def _q_tpch_pricing(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def _q_doc_fingerprint_dedup(spark, sf_dir):
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        docs.select(F.col("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select(
+            "source",
+            F.size(tokens).alias("n_tokens"),
+            F.length("text").alias("n_chars_actual"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars_actual"), 4).alias("avg_chars"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _q_events_tumbling(spark, sf_dir):
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    # epoch-seconds bucket (BIGINT on both engines — avoids tz-repr drift)
+    bucket = (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("long")
+    return (
+        ev.select(bucket.alias("window_start"), "event_type", "value")
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "p1_normalize_url": _q_normalize,
+        "p4_pagination_classify": _q_pagination,
+        "p5_product_match": _q_product_match,
+        "p6_config_key": _q_config_key,
+        "p6_config_match": _q_config_match,
+        "p7_category_priority": _q_category_priority,
+        "o3_frontier_topk": _q_frontier_topk,
+        "o5_politeness_budget": _q_politeness,
+        "j1_seen_antijoin": _q_seen_antijoin,
+        "j7_first_touch": _q_first_touch,
+        "a3_urls_per_domain": _q_urls_per_domain,
+        "g1_seqgen": _q_seqgen,
+        "tpch_pricing_summary": _q_tpch_pricing,
+        "doc_fingerprint_dedup": _q_doc_fingerprint_dedup,
+        "doc_token_stats": _q_doc_token_stats,
+        "events_tumbling_agg": _q_events_tumbling,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    corpus = f"WITH corpus AS ({CORPUS_SQL})"
+    return {
+        "p1_normalize_url": f"""
+            {corpus},
+            parts AS (
+              SELECT seq, url,
+                regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                lower(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1)) AS netloc,
+                regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                CASE WHEN contains(url, '?') THEN regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END AS q
+              FROM corpus),
+            filt AS (
+              SELECT seq, url, scheme, netloc, path,
+                array_to_string(
+                  list_filter(string_split(q, '&'),
+                    p -> p <> '' AND contains(p, '=')
+                         AND NOT regexp_matches(lower(string_split(p, '=')[1]), '{_TRACKING_RE}')),
+                  '&') AS q2
+              FROM parts)
+            SELECT seq, url,
+                   scheme || '://' || netloc || path ||
+                   CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS norm
+            FROM filt
+        """,
+        "p4_pagination_classify": f"""
+            {corpus}
+            SELECT seq, url, regexp_matches(url, '{_PAG_RE}') AS is_pagination
+            FROM corpus
+        """,
+        "p5_product_match": f"""
+            {corpus}
+            SELECT DISTINCT regexp_replace(url, '/+$', '') AS product_url
+            FROM corpus WHERE regexp_matches(url, '{_SIMPLE_RE}')
+        """,
+        "p6_config_key": f"""
+            {corpus},
+            keyed AS (
+              SELECT CASE
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'default') THEN 'default'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'amazon') THEN 'amazon'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'shopify') THEN 'shopify'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'woocommerce') THEN 'woocommerce'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'magento') THEN 'magento'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'bigcommerce') THEN 'bigcommerce'
+                ELSE 'default' END AS config_key
+              FROM corpus)
+            SELECT config_key, COUNT(*) AS n FROM keyed GROUP BY config_key
+        """,
+        "p6_config_match": f"""
+            {corpus},
+            keyed AS (
+              SELECT url, CASE
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'default') THEN 'default'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'amazon') THEN 'amazon'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'shopify') THEN 'shopify'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'woocommerce') THEN 'woocommerce'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'magento') THEN 'magento'
+                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'bigcommerce') THEN 'bigcommerce'
+                ELSE 'default' END AS k
+              FROM corpus)
+            SELECT DISTINCT regexp_replace(url, '/+$', '') AS product_url
+            FROM keyed
+            WHERE (k = 'default' AND regexp_matches(url, '{_DOMAIN_RE["default"]}'))
+               OR (k = 'amazon' AND regexp_matches(url, '{_DOMAIN_RE["amazon"]}'))
+               OR (k = 'shopify' AND regexp_matches(url, '{_DOMAIN_RE["shopify"]}'))
+               OR (k = 'woocommerce' AND regexp_matches(url, '{_DOMAIN_RE["woocommerce"]}'))
+               OR (k = 'magento' AND regexp_matches(url, '{_DOMAIN_RE["magento"]}'))
+               OR (k = 'bigcommerce' AND regexp_matches(url, '{_DOMAIN_RE["bigcommerce"]}'))
+        """,
+        "p7_category_priority": f"""
+            {corpus}
+            SELECT seq, url,
+                   CASE WHEN regexp_matches(url, '{_CAT_RE}') THEN 0 ELSE 1 END AS priority
+            FROM corpus
+        """,
+        "o3_frontier_topk": f"""
+            {corpus},
+            base AS (
+              SELECT seq, url,
+                     regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS domain,
+                     CASE WHEN regexp_matches(url, '{_CAT_RE}') THEN 0 ELSE 1 END AS priority
+              FROM corpus),
+            cnt AS (SELECT *, COUNT(*) OVER (PARTITION BY domain) AS c FROM base),
+            eff AS (SELECT *, CASE WHEN c > 15 THEN priority ELSE 0 END AS e FROM cnt),
+            ranked AS (
+              SELECT domain, url,
+                     ROW_NUMBER() OVER (PARTITION BY domain ORDER BY e, seq) - 1 AS queue_pos
+              FROM eff)
+            SELECT domain, url, queue_pos FROM ranked WHERE queue_pos < 15
+        """,
+        "o5_politeness_budget": f"""
+            {corpus},
+            base AS (
+              SELECT url, seq,
+                     regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host,
+                     CASE WHEN regexp_matches(url, '{_CAT_RE}') THEN 0 ELSE 1 END AS priority
+              FROM corpus),
+            ranked AS (
+              SELECT host, url,
+                     ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, seq) AS rn
+              FROM base)
+            SELECT host, url FROM ranked WHERE rn <= 5
+        """,
+        "j1_seen_antijoin": f"""
+            {corpus}
+            SELECT url FROM corpus
+            WHERE url NOT IN (SELECT url FROM corpus WHERE seq % 3 = 0)
+        """,
+        "j7_first_touch": """
+            WITH mentions AS (
+              SELECT 'u' || CAST(l_partkey % 500 AS INT) AS url,
+                     CASE CAST(l_linenumber % 4 AS INT)
+                       WHEN 0 THEN 'simple' WHEN 1 THEN 'config'
+                       WHEN 2 THEN 'ai' ELSE 'sequential' END AS parser,
+                     l_orderkey AS ord1, l_linenumber AS ord2
+              FROM lineitem),
+            firsts AS (
+              SELECT url, parser,
+                     ROW_NUMBER() OVER (PARTITION BY url ORDER BY ord1, ord2) AS rn
+              FROM mentions)
+            SELECT parser, COUNT(*) AS n_first FROM firsts WHERE rn = 1 GROUP BY parser
+        """,
+        "a3_urls_per_domain": f"""
+            {corpus}
+            SELECT regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS domain,
+                   COUNT(DISTINCT regexp_replace(url, '/+$', '')) AS urls_count
+            FROM corpus WHERE regexp_matches(url, '{_SIMPLE_RE}')
+            GROUP BY 1
+        """,
+        "g1_seqgen": f"""
+            {corpus},
+            pp AS (
+              SELECT 'pg' || CAST(seq % 40 AS INT) AS page_url, url
+              FROM corpus WHERE seq % 5 = 2),
+            counted AS (SELECT *, COUNT(*) OVER (PARTITION BY page_url) AS c FROM pp),
+            sample AS (
+              SELECT * FROM (
+                SELECT page_url, url,
+                       ROW_NUMBER() OVER (PARTITION BY page_url ORDER BY url) AS rn
+                FROM counted WHERE c >= 3) WHERE rn <= 10),
+            pats AS (
+              SELECT page_url, url,
+                CASE
+                  WHEN regexp_extract(url, '/(\\d+)(?:/|$)', 1) <> '' THEN 0
+                  WHEN regexp_extract(url, 'p=(\\d+)', 1) <> '' THEN 1
+                  WHEN regexp_extract(url, 'page=(\\d+)', 1) <> '' THEN 2
+                  WHEN regexp_extract(url, '-p(\\d+)', 1) <> '' THEN 3
+                  WHEN regexp_extract(url, '_(\\d+)\\.html', 1) <> '' THEN 4
+                  ELSE NULL END AS pat
+              FROM sample),
+            pagepat AS (
+              SELECT *, MIN(pat) OVER (PARTITION BY page_url) AS page_pat FROM pats),
+            matched AS (
+              SELECT page_url, url, page_pat,
+                CASE page_pat
+                  WHEN 0 THEN regexp_extract(url, '/(\\d+)(?:/|$)', 0)
+                  WHEN 1 THEN regexp_extract(url, 'p=(\\d+)', 0)
+                  WHEN 2 THEN regexp_extract(url, 'page=(\\d+)', 0)
+                  WHEN 3 THEN regexp_extract(url, '-p(\\d+)', 0)
+                  WHEN 4 THEN regexp_extract(url, '_(\\d+)\\.html', 0)
+                END AS g0,
+                CASE page_pat
+                  WHEN 0 THEN regexp_extract(url, '/(\\d+)(?:/|$)', 1)
+                  WHEN 1 THEN regexp_extract(url, 'p=(\\d+)', 1)
+                  WHEN 2 THEN regexp_extract(url, 'page=(\\d+)', 1)
+                  WHEN 3 THEN regexp_extract(url, '-p(\\d+)', 1)
+                  WHEN 4 THEN regexp_extract(url, '_(\\d+)\\.html', 1)
+                END AS g1
+              FROM pagepat WHERE pat = page_pat),
+            nums AS (SELECT *, CAST(g1 AS BIGINT) AS num FROM matched),
+            deltas AS (
+              SELECT n.*, i.i,
+                     unnest(CASE WHEN n.num > i.i
+                            THEN [n.num + i.i, n.num - i.i]
+                            ELSE [n.num + i.i] END) AS new_num
+              FROM nums n CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) i),
+            gen AS (
+              SELECT DISTINCT page_url,
+                     replace(url, g0, replace(g0, g1, CAST(new_num AS VARCHAR))) AS url
+              FROM deltas),
+            filtered AS (
+              SELECT g.page_url, g.url FROM gen g
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pp WHERE pp.page_url = g.page_url AND pp.url = g.url)),
+            capped AS (
+              SELECT page_url, url,
+                     ROW_NUMBER() OVER (PARTITION BY page_url ORDER BY url) AS rn
+              FROM filtered)
+            SELECT page_url, url FROM capped WHERE rn <= 30
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "doc_fingerprint_dedup": """
+            SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+                   MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_dupes
+            FROM documents GROUP BY 1
+        """,
+        "doc_token_stats": """
+            SELECT source,
+                   SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+                   ROUND(AVG(length(text)), 4) AS avg_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "events_tumbling_agg": """
+            SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS window_start,
+                   event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,167 @@
+"""O2/O3/J2 — next-frontier construction from parsed pages.
+
+Reproduces the reference's per-depth queue build
+(/root/reference/worker/src/tasks.py:491-529) as pure DataFrame ops:
+
+1. discovery: internal anchors of each page, pagination first within a
+   page, then document order (find_urls canonical order, tasks.py:105-106)
+2. batch-visibility dedup: the reference checks ``next_url not in
+   visited_urls`` at discovery time (tasks.py:492), when ``visited``
+   holds the seen-set at round start PLUS the current round's batches up
+   to and including the discovering page's batch (marked before fetch,
+   tasks.py:438-440; batch size 10, tasks.py:433). A link to a URL
+   scheduled in a LATER batch therefore survives into the queue (and
+   occupies cap space) and is only dropped by the next round's batch
+   filter — reproduced here exactly.
+3. within/cross-page keep-first dedup via min(discovery_seq)
+4. the 500-cap with category-priority reordering, applied ONLY when the
+   queue exceeds the cap (tasks.py:529 — otherwise discovery order is
+   kept and priority is ignored)
+
+discovery_seq encoding: queue_pos * 2^20 | (pagination ? 0 : 2^19) |
+span offset — a single sortable key for (page order, pagination-first,
+document order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webcrawlerfull_spark import config as C
+from webcrawlerfull_spark.functions import predicates as P
+
+_PAGE_SHIFT = 1 << 20
+_NONPAG_BIT = 1 << 19
+BATCH_SIZE = 10  # tasks.py:433
+
+
+def discovered_links(pages: DataFrame, max_depth: int) -> DataFrame:
+    """Internal anchors of fetched pages that are below the link-discovery
+    depth limit (find_urls is skipped at the last depth, tasks.py:641)."""
+    return (
+        pages.where(
+            (F.col("status") == "ok") & (F.col("depth") < F.lit(max_depth - 1))
+        )
+        .select(
+            F.col("url").alias("page_url"),
+            "host",
+            "domain",
+            "depth",
+            "queue_pos",
+            F.explode("spans").alias("span"),
+        )
+        .where(
+            (F.col("span.kind") == "pagination")
+            | (
+                (F.col("span.kind") == "link")
+                & (P.url_authority(F.col("span.media_ref")) == F.col("host"))
+            )
+        )
+        .select(
+            "host",
+            "domain",
+            F.col("depth").alias("src_depth"),
+            F.col("queue_pos").alias("src_queue_pos"),
+            F.col("span.media_ref").alias("url"),
+            (
+                F.col("queue_pos") * F.lit(_PAGE_SHIFT)
+                + F.when(F.col("span.kind") == "pagination", F.lit(0)).otherwise(
+                    F.lit(_NONPAG_BIT)
+                )
+                + F.col("span.offset")
+            ).alias("discovery_seq"),
+        )
+    )
+
+
+def build_next_frontier(
+    pages: DataFrame,
+    scheduled: DataFrame,
+    seen: DataFrame,
+    max_depth: int,
+    round_id: int,
+    frontier_cap: int = C.FRONTIER_CAP_PER_DOMAIN,
+) -> DataFrame:
+    """pages: PARSED_PAGE(+queue_pos); scheduled: this round's fetched
+    slice (url, queue_pos); seen: URL-seen AT ROUND START (url)."""
+    links = discovered_links(pages, max_depth)
+
+    # keep-first across all discoveries of a url (min encodes page order,
+    # pagination-first, span order)
+    links = links.groupBy("url", "host", "domain").agg(
+        F.min("discovery_seq").alias("discovery_seq"),
+        F.min("src_depth").alias("src_depth"),
+    )
+
+    # drop urls already seen at round start (J2 left-anti)
+    links = links.join(seen.select("url"), "url", "left_anti")
+
+    # batch-visibility rule: drop urls scheduled this round in a batch
+    # <= the discovering page's batch
+    sched_batches = scheduled.select(
+        "url", F.floor(F.col("queue_pos") / BATCH_SIZE).alias("sched_batch")
+    )
+    links = (
+        links.withColumn(
+            "disc_batch",
+            F.floor(
+                F.floor(F.col("discovery_seq") / _PAGE_SHIFT) / F.lit(BATCH_SIZE)
+            ),
+        )
+        .join(sched_batches, "url", "left")
+        .where(
+            F.col("sched_batch").isNull()
+            | (F.col("sched_batch") > F.col("disc_batch"))
+        )
+        .drop("sched_batch", "disc_batch")
+    )
+
+    # category-priority + conditional 500-cap (per domain)
+    links = links.withColumn("priority", P.category_priority(F.col("url")))
+    w_cnt = Window.partitionBy("domain")
+    links = links.withColumn("_cnt", F.count("*").over(w_cnt)).withColumn(
+        "_eff_priority",
+        F.when(F.col("_cnt") > frontier_cap, F.col("priority")).otherwise(F.lit(0)),
+    )
+    w_rank = Window.partitionBy("domain").orderBy("_eff_priority", "discovery_seq")
+    return (
+        links.withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") <= frontier_cap)
+        .select(
+            "url",
+            "host",
+            "domain",
+            (F.col("src_depth") + 1).alias("depth"),
+            "priority",
+            "discovery_seq",
+            F.pmod(F.xxhash64("url"), F.lit(64)).cast("int").alias("salt_bucket"),
+            F.lit(round_id + 1).alias("round"),
+            (F.col("_rn") - 1).alias("queue_pos"),
+        )
+    )
+
+
+def seed_frontier(spark, seeds: list[str], round_id: int = 0) -> DataFrame:
+    """Round-0 frontier: one row per seed domain (tasks.py:401)."""
+    from urllib.parse import urlparse
+
+    rows = [
+        {
+            "url": s,
+            "host": urlparse(s).netloc,
+            "domain": s,
+            "depth": 0,
+            "priority": 1,
+            "discovery_seq": 0,
+            "salt_bucket": 0,
+            "round": round_id,
+            "queue_pos": 0,
+        }
+        for s in seeds
+    ]
+    from webcrawlerfull_spark import schemas
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(schemas.FRONTIER.fields + [StructField("queue_pos", LongType())])
+    return spark.createDataFrame(rows, schema=schema)

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType
+from pyspark.sql.types import ArrayType, StructType
 
 from webcrawlerfull_spark import config as C
 from webcrawlerfull_spark import schemas
@@ -100,19 +100,31 @@ def parse_spans_udf(
     )
 
 
-def fetch_and_parse(frontier: DataFrame, world: World) -> DataFrame:
+def fetch_and_parse(
+    frontier: DataFrame, world: World, extra_cols: list[str] | None = None
+) -> DataFrame:
     """S1/S2+H1 — the fetch+parse stage over a scheduled frontier slice.
 
     ``mapInPandas`` so fetch (deterministic synthetic, synthgen.World —
     replaces aiohttp, fetcher.py:227-269) and parse happen in one pass
     with no HTML ever shuffled. Input must carry
-    (url, host, domain, depth, priority, discovery_seq); output is
-    schemas.PARSED_PAGE. Failed fetches keep the row with status='failed'
-    and null spans (the reference marks them visited but parses nothing,
-    tasks.py:600-602).
+    (url, host, domain, depth, priority, discovery_seq); ``extra_cols``
+    (e.g. queue_pos) pass straight through so no re-join is needed.
+    Failed fetches keep the row with status='failed' and null spans (the
+    reference marks them visited but parses nothing, tasks.py:600-602).
+
+    ``host`` carries the crawl's domain_netloc (the SEED's netloc,
+    tasks.py:407) — the reference classifies internal links against it,
+    not against each page's own host.
     """
-    cols = ["url", "host", "domain", "depth", "priority", "discovery_seq"]
+    extra_cols = extra_cols or []
+    cols = ["url", "host", "domain", "depth", "priority", "discovery_seq"] + extra_cols
     inp = frontier.select(*cols)
+    out_cols = cols + ["status", "doc_id", "spans"]
+    out_schema = StructType(
+        [inp.schema[c] for c in cols]
+        + [f for f in schemas.PARSED_PAGE.fields if f.name in ("status", "doc_id", "spans")]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,21 +142,9 @@ def fetch_and_parse(frontier: DataFrame, world: World) -> DataFrame:
             out["status"] = status
             out["doc_id"] = pdf["url"]
             out["spans"] = spans_col
-            yield out[
-                [
-                    "url",
-                    "host",
-                    "domain",
-                    "depth",
-                    "priority",
-                    "discovery_seq",
-                    "status",
-                    "doc_id",
-                    "spans",
-                ]
-            ]
+            yield out[out_cols]
 
-    return inp.mapInPandas(gen, schema=schemas.PARSED_PAGE)
+    return inp.mapInPandas(gen, schema=out_schema)
 
 
 # ---- native views over the spans table (zero Python from here on) --------

@@ -1,0 +1,167 @@
+"""One crawl round as a pure DataFrame function (SURVEY.md §7 step 2).
+
+round(frontier, seen) →
+    scheduled   (politeness top-k per host, J1 anti-join vs seen)
+    pages       (fetch+parse mapInPandas over the synthetic world)
+    mentions    (parser cascade + sequential generation, with page-level
+                 attribution metadata)
+    stats       (per-page parser counts → lineage aggregates)
+    next frontier (O2/O3 construction)
+    seen delta  (the scheduled slice — marked before fetch, tasks.py:438-440)
+
+In parity mode (politeness_budget=None) one round == one reference BFS
+depth and the schedule order is exactly the reference's frontier order.
+With a finite budget, each host fetches at most ``budget`` URLs per
+round and the rest of the frontier carries over — the scale path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webcrawlerfull_spark import config as C
+from webcrawlerfull_spark.operators import cascade as casc
+from webcrawlerfull_spark.operators import frontier as fr
+from webcrawlerfull_spark.operators import seqgen
+from webcrawlerfull_spark.operators.parse_spans import fetch_and_parse
+from webcrawlerfull_spark.synthgen import World
+
+
+@dataclass
+class RoundOutput:
+    scheduled: DataFrame      # (url, …, queue_pos) — becomes the seen delta
+    pages: DataFrame          # PARSED_PAGE + queue_pos
+    mentions: DataFrame       # (url, domain, parser, parser_rank, depth, queue_pos)
+    page_stats: DataFrame     # per-page parser found-counts (A1 inputs)
+    next_frontier: DataFrame
+
+
+def politeness_schedule(
+    frontier: DataFrame, budget: int | None, salt_partitions: int = 32
+) -> tuple[DataFrame, DataFrame]:
+    """O5/O6 — per-host per-round fetch quota as a salted two-phase top-k
+    (a hot host would otherwise pin one task: SURVEY.md §4 custom work
+    #2/#3). Phase 1 takes the per-(host, salt) top-budget, phase 2 the
+    true per-host top-budget of that reduced set — equivalent to a single
+    global per-host top-k, but the heavy sort is spread over
+    ``salt_partitions`` slices of the hot host.
+
+    Returns (scheduled, deferred); deferred keeps its columns and rejoins
+    the next round's frontier.
+    """
+    if budget is None:
+        return frontier, frontier.limit(0)
+    order = [F.col("depth").asc(), F.col("priority").asc(), F.col("discovery_seq").asc()]
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    phase1 = salted.withColumn("_rn1", F.row_number().over(w1))
+    survivors = phase1.where(F.col("_rn1") <= budget)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = survivors.withColumn("_rn2", F.row_number().over(w2))
+    scheduled = ranked.where(F.col("_rn2") <= budget).drop("_salt", "_rn1", "_rn2")
+    # deferred = frontier minus scheduled (cheap anti-join on url)
+    deferred = frontier.join(scheduled.select("url"), "url", "left_anti")
+    return scheduled, deferred
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Robots gating (north_star): drop frontier URLs whose path starts
+    with a disallowed prefix for their host. The reference has no robots
+    handling — engine-side addition, None disables it (parity mode)."""
+    if robots is None:
+        return frontier
+    joined = frontier.join(F.broadcast(robots), "host", "left")
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.where(~blocked).drop("disallow_prefixes")
+
+
+def run_round(
+    frontier: DataFrame,
+    seen: DataFrame,
+    world: World,
+    cfg: C.CrawlConfig,
+    round_id: int,
+    robots: DataFrame | None = None,
+) -> RoundOutput:
+    frontier = apply_robots(frontier, robots)
+    scheduled, deferred = politeness_schedule(
+        frontier, cfg.politeness_budget, cfg.salt_partitions
+    )
+    # J1 — no re-fetch of seen URLs (batch filter, tasks.py:436)
+    scheduled = scheduled.join(seen.select("url"), "url", "left_anti")
+
+    # spread the fetch uniformly (url-hash) so a hot host doesn't pin a task
+    to_fetch = scheduled.repartition(cfg.shuffle_partitions, F.xxhash64("url"))
+    pages = fetch_and_parse(to_fetch, world, extra_cols=["queue_pos"])
+
+    page_products, page_parser_counts = casc.run_cascade(pages)
+
+    seq = seqgen.generate_sequential_urls(
+        page_products.select("page_url", "host", "domain", "depth", "queue_pos", "url"),
+        page_key="page_url",
+        url_col="url",
+        carry_cols=["host", "domain", "depth", "queue_pos"],
+    ).withColumn("parser", F.lit("sequential")).withColumn(
+        "parser_rank", F.lit(casc.PARSER_RANK["sequential"])
+    )
+
+    mentions = page_products.select(
+        "url", "page_url", "host", "domain", "depth", "queue_pos", "parser", "parser_rank"
+    ).unionByName(
+        seq.select(
+            "url", "page_url", "host", "domain", "depth", "queue_pos", "parser", "parser_rank"
+        )
+    ).withColumn("round", F.lit(round_id))
+
+    # per-page stats incl. sequential counts (pages with zero parser hits
+    # contribute nothing — reference `if urls:` guard, tasks.py:618)
+    seq_counts = seq.groupBy("page_url").agg(F.count("*").alias("seq_found"))
+    page_stats = page_parser_counts.join(seq_counts, "page_url", "left").select(
+        "page_url",
+        "host",
+        "domain",
+        "depth",
+        "queue_pos",
+        "simple_found",
+        "config_found",
+        F.coalesce("seq_found", F.lit(0)).alias("seq_found"),
+    )
+
+    next_frontier = fr.build_next_frontier(
+        pages, scheduled, seen, cfg.max_depth, round_id, cfg.frontier_cap
+    )
+    if cfg.politeness_budget is not None:
+        next_frontier = _merge_deferred(next_frontier, deferred, seen)
+
+    return RoundOutput(
+        scheduled=scheduled,
+        pages=pages,
+        mentions=mentions,
+        page_stats=page_stats,
+        next_frontier=next_frontier,
+    )
+
+
+def _merge_deferred(
+    next_frontier: DataFrame, deferred: DataFrame, seen: DataFrame
+) -> DataFrame:
+    """Scale mode: deferred frontier rows carry over; new discoveries that
+    duplicate a deferred row are dropped (the deferred row is older)."""
+    deferred = deferred.join(seen.select("url"), "url", "left_anti")
+    fresh = next_frontier.join(deferred.select("url"), "url", "left_anti")
+    cols = [
+        "url", "host", "domain", "depth", "priority",
+        "discovery_seq", "salt_bucket", "round", "queue_pos",
+    ]
+    merged = deferred.select(*cols).unionByName(fresh.select(*cols))
+    w = Window.partitionBy("domain").orderBy("depth", "priority", "discovery_seq")
+    return merged.withColumn("queue_pos", F.row_number().over(w) - 1)
