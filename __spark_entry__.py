@@ -562,7 +562,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_stats": """
             SELECT source,
-                   SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
                    ROUND(AVG(length(text)), 4) AS avg_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY source

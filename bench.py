@@ -1,0 +1,113 @@
+"""Benchmark entry point (driver contract: ONE JSON line on stdout).
+
+Two parts:
+1. flagship crawl — the synthetic-frontier crawl (fetch+parse+dedup+
+   frontier rounds) at a bench-sized world; headline = URLs fetched+parsed
+   per second (BASELINE.json metric)
+2. headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+
+Env:
+  SPARK_GRAFT_CPUS     cores (default 32) -> master local[N]
+  SPARK_GRAFT_SF_DIR   parquet dir for the operator queries
+  BENCH_HOSTS          synthetic world size (default 40 hosts)
+
+Scaling-efficiency protocol (BASELINE.md): run this same file via
+tools/bench_scaling.py at SPARK_GRAFT_CPUS=8 and =32 on the same input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from webcrawlerfull_spark.config import CrawlConfig  # noqa: E402
+from webcrawlerfull_spark.session import get_spark  # noqa: E402
+from webcrawlerfull_spark.sources.catalog import Catalog  # noqa: E402
+from webcrawlerfull_spark.streaming.driver import crawl  # noqa: E402
+from webcrawlerfull_spark.synthgen import World  # noqa: E402
+
+BENCH_QUERIES = [
+    "p1_normalize_url",
+    "p5_product_match",
+    "o3_frontier_topk",
+    "j7_first_touch",
+    "g1_seqgen",
+    "doc_fingerprint_dedup",
+    "events_tumbling_agg",
+]
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "40"))
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark(
+        app_name="wcf-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- flagship crawl ----------------------------------------------------
+    world = World(
+        seed=7,
+        n_hosts=n_hosts,
+        base_pages=20000,
+        cat_min=8,
+        cat_span=4,
+        per_page_min=30,
+        per_page_span=20,
+        max_pag=6,
+        fail_rate=0.01,
+    )
+    timings: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        cat = Catalog(spark, os.path.join(tmp, "cat"))
+        cfg = CrawlConfig(
+            max_depth=3, politeness_budget=None, shuffle_partitions=cpus
+        )
+        t0 = time.monotonic()
+        res = crawl(spark, world.seeds(), cfg, world, cat)
+        crawl_wall = time.monotonic() - t0
+        fetched = res.lineage.agg(F.sum("fetched")).collect()[0][0] or 0
+        products = res.products.count()
+    timings["crawl_3_rounds"] = round(crawl_wall, 3)
+    urls_per_sec = round(fetched / crawl_wall, 2) if crawl_wall else 0.0
+
+    # ---- operator queries ----------------------------------------------------
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl+operator wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+                "urls_fetched_parsed_per_sec": urls_per_sec,
+                "crawl_fetched": int(fetched),
+                "crawl_products": int(products),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

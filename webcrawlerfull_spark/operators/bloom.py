@@ -1,0 +1,189 @@
+"""Partitioned bloom URL-seen filter (SURVEY.md §4 custom work #1).
+
+The reference keeps ``visited_urls`` as ONE process-resident Python set
+(/root/reference/worker/src/tasks.py:400) — the precise thing that
+cannot scale to a 10^10-URL frontier. Here the seen-state is B bloom
+buckets, each a byte blob row ``(bucket_id, filter_bytes)``:
+
+- bucket routing: ``pmod(xxhash64(url), B)`` — Spark-native, so
+  candidates co-partition with their bucket by one hash shuffle
+- build/update: cogrouped ``applyInPandas`` — per bucket, OR the new
+  URLs' bits into the previous blob (Arrow-batched, no per-row Python
+  rows crossing the JVM boundary)
+- probe: cogrouped ``applyInPandas`` over (candidates, filters) — emits
+  ``maybe_seen`` per URL with NO false negatives
+- exact anti-join ONLY on bloom-positives: at scale the giant
+  ``frontier LEFT ANTI JOIN seen`` shrinks to the tiny
+  true-seen + false-positive slice (fpp-bounded)
+
+In-bucket hashing is double hashing over two independent 64-bit values
+from blake2b(url) — Python-side only (never compared with JVM hashes).
+
+Equivalence with the exact path is pytest-verified on the small world;
+no-false-negative is property-tested.
+"""
+
+from __future__ import annotations
+
+import math
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FILTERS_SCHEMA = StructType(
+    [
+        StructField("bucket_id", IntegerType()),
+        StructField("filter_bytes", BinaryType()),
+    ]
+)
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("maybe_seen", BooleanType()),
+    ]
+)
+
+
+def _params(capacity: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for a target capacity/false-positive rate."""
+    m = max(64, int(math.ceil(-capacity * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / capacity * math.log(2)))
+    return m, k
+
+
+def _hashes(url: str) -> tuple[int, int]:
+    d = blake2b(url.encode("utf-8", "surrogatepass"), digest_size=16).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def _set_bits(bits: np.ndarray, urls, m: int, k: int) -> None:
+    for u in urls:
+        h1, h2 = _hashes(u)
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+
+
+def _test_bits(bits: np.ndarray, url: str, m: int, k: int) -> bool:
+    h1, h2 = _hashes(url)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def bucket_col(url_col, buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(buckets)).cast("int")
+
+
+def update_filters(
+    new_urls: DataFrame,
+    old_filters: DataFrame | None,
+    buckets: int,
+    capacity: int = 1_000_000,
+    fpp: float = 0.01,
+    url_col: str = "url",
+) -> DataFrame:
+    """Merge newly-seen URLs into the bucketized filter state. Returns the
+    FULL new filter table (one row per touched bucket; untouched buckets
+    keep their old row)."""
+    m, k = _params(capacity, fpp)
+    spark = new_urls.sparkSession
+    new_b = new_urls.select(
+        F.col(url_col).alias("url"), bucket_col(F.col(url_col), buckets).alias("bucket_id")
+    )
+    if old_filters is None:
+        old_filters = spark.createDataFrame([], schema=FILTERS_SCHEMA)
+
+    def merge(key, urls_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket_id = int(key[0])
+        if len(filt_pdf):
+            bits = np.frombuffer(filt_pdf["filter_bytes"].iloc[0], dtype=np.uint8).copy()
+        else:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+        _set_bits(bits, urls_pdf["url"], m, k)
+        return pd.DataFrame(
+            {"bucket_id": [bucket_id], "filter_bytes": [bits.tobytes()]}
+        )
+
+    touched = (
+        new_b.groupBy("bucket_id")
+        .cogroup(old_filters.groupBy("bucket_id"))
+        .applyInPandas(merge, schema=FILTERS_SCHEMA)
+    )
+    untouched = old_filters.join(
+        new_b.select("bucket_id").distinct(), "bucket_id", "left_anti"
+    )
+    return touched.unionByName(untouched)
+
+
+def probe(
+    candidates: DataFrame,
+    filters: DataFrame,
+    buckets: int,
+    capacity: int = 1_000_000,
+    fpp: float = 0.01,
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, maybe_seen) for every candidate URL — no false negatives."""
+    m, k = _params(capacity, fpp)
+    cand = candidates.select(
+        F.col(url_col).alias("url"), bucket_col(F.col(url_col), buckets).alias("bucket_id")
+    )
+
+    def run(key, cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf):
+            return pd.DataFrame({"url": [], "maybe_seen": []})
+        if len(filt_pdf):
+            bits = np.frombuffer(filt_pdf["filter_bytes"].iloc[0], dtype=np.uint8)
+            flags = [_test_bits(bits, u, m, k) for u in cand_pdf["url"]]
+        else:
+            flags = [False] * len(cand_pdf)
+        return pd.DataFrame({"url": cand_pdf["url"], "maybe_seen": flags})
+
+    return (
+        cand.groupBy("bucket_id")
+        .cogroup(filters.groupBy("bucket_id"))
+        .applyInPandas(run, schema=PROBE_SCHEMA)
+    )
+
+
+def seen_anti_join(
+    candidates: DataFrame,
+    seen_exact: DataFrame,
+    filters: DataFrame | None,
+    buckets: int,
+    capacity: int = 1_000_000,
+    fpp: float = 0.01,
+    url_col: str = "url",
+) -> DataFrame:
+    """J1 at scale: definite-new URLs skip the exact join entirely; only
+    bloom-positives (true seen + ~fpp false positives) hit seen_exact."""
+    if filters is None:
+        return candidates.join(
+            seen_exact.select(F.col("url").alias(url_col)), url_col, "left_anti"
+        )
+    flags = probe(candidates, filters, buckets, capacity, fpp, url_col=url_col)
+    flagged = candidates.join(
+        flags.withColumnRenamed("url", url_col), url_col, "left"
+    ).withColumn("maybe_seen", F.coalesce("maybe_seen", F.lit(False)))
+    definite_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+    verified_new = suspects.join(
+        seen_exact.select(F.col("url").alias(url_col)), url_col, "left_anti"
+    )
+    return definite_new.unionByName(verified_new)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from webcrawlerfull_spark import config as C
 from webcrawlerfull_spark.functions import predicates as P
+from webcrawlerfull_spark.operators import bloom
 
 _PAGE_SHIFT = 1 << 20
 _NONPAG_BIT = 1 << 19
@@ -82,6 +83,8 @@ def build_next_frontier(
     max_depth: int,
     round_id: int,
     frontier_cap: int = C.FRONTIER_CAP_PER_DOMAIN,
+    seen_filters: DataFrame | None = None,
+    cfg: C.CrawlConfig | None = None,
 ) -> DataFrame:
     """pages: PARSED_PAGE(+queue_pos); scheduled: this round's fetched
     slice (url, queue_pos); seen: URL-seen AT ROUND START (url)."""
@@ -94,8 +97,13 @@ def build_next_frontier(
         F.min("src_depth").alias("src_depth"),
     )
 
-    # drop urls already seen at round start (J2 left-anti)
-    links = links.join(seen.select("url"), "url", "left_anti")
+    # drop urls already seen at round start (J2 left-anti; bloom-gated at
+    # scale so only maybe-seen rows shuffle against the exact table)
+    cfg = cfg or C.CrawlConfig()
+    links = bloom.seen_anti_join(
+        links, seen, seen_filters, cfg.bloom_buckets,
+        cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
+    )
 
     # batch-visibility rule: drop urls scheduled this round in a batch
     # <= the discovering page's batch

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from webcrawlerfull_spark import config as C
+from webcrawlerfull_spark.operators import bloom
 from webcrawlerfull_spark.operators import cascade as casc
 from webcrawlerfull_spark.operators import frontier as fr
 from webcrawlerfull_spark.operators import seqgen
@@ -91,13 +92,18 @@ def run_round(
     cfg: C.CrawlConfig,
     round_id: int,
     robots: DataFrame | None = None,
+    seen_filters: DataFrame | None = None,
 ) -> RoundOutput:
     frontier = apply_robots(frontier, robots)
     scheduled, deferred = politeness_schedule(
         frontier, cfg.politeness_budget, cfg.salt_partitions
     )
-    # J1 — no re-fetch of seen URLs (batch filter, tasks.py:436)
-    scheduled = scheduled.join(seen.select("url"), "url", "left_anti")
+    # J1 — no re-fetch of seen URLs (batch filter, tasks.py:436); with a
+    # bloom state only the maybe-seen slice touches the exact seen table
+    scheduled = bloom.seen_anti_join(
+        scheduled, seen, seen_filters, cfg.bloom_buckets,
+        cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
+    )
 
     # spread the fetch uniformly (url-hash) so a hot host doesn't pin a task
     to_fetch = scheduled.repartition(cfg.shuffle_partitions, F.xxhash64("url"))
@@ -137,7 +143,8 @@ def run_round(
     )
 
     next_frontier = fr.build_next_frontier(
-        pages, scheduled, seen, cfg.max_depth, round_id, cfg.frontier_cap
+        pages, scheduled, seen, cfg.max_depth, round_id, cfg.frontier_cap,
+        seen_filters=seen_filters, cfg=cfg,
     )
     if cfg.politeness_budget is not None:
         next_frontier = _merge_deferred(next_frontier, deferred, seen)

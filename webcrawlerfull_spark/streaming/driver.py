@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from webcrawlerfull_spark import schemas
 from webcrawlerfull_spark.config import CrawlConfig
+from webcrawlerfull_spark.operators.bloom import update_filters
 from webcrawlerfull_spark.operators.attribution import first_touch
 from webcrawlerfull_spark.operators.frontier import seed_frontier
 from webcrawlerfull_spark.plans.round import run_round
@@ -81,9 +82,15 @@ def crawl(
         if frontier.isEmpty():
             break
         seen = catalog.read_all("seen", up_to_round=round_id - 1) or _empty_seen(spark)
+        seen_filters = None
+        if cfg.use_bloom and round_id > 0 and catalog.has_round("seen_bloom", round_id - 1):
+            seen_filters = catalog.read_round("seen_bloom", round_id - 1)
 
         t0 = time.monotonic()
-        out = run_round(frontier, seen, world, cfg, round_id, robots=robots)
+        out = run_round(
+            frontier, seen, world, cfg, round_id, robots=robots,
+            seen_filters=seen_filters,
+        )
         out.scheduled.persist()
         out.pages.persist()
 
@@ -95,6 +102,14 @@ def crawl(
             "seen",
             round_id,
         )
+        if cfg.use_bloom:
+            # full filter state per round (simple + resume-friendly; an
+            # Iceberg MERGE would rewrite only touched buckets)
+            new_filters = update_filters(
+                out.scheduled.select("url"), seen_filters, cfg.bloom_buckets,
+                cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
+            )
+            catalog.write_round(new_filters, "seen_bloom", round_id)
         catalog.write_round(out.mentions, "mentions", round_id)
         catalog.write_round(
             out.page_stats.withColumn("round", F.lit(round_id)), "page_stats", round_id

@@ -59,6 +59,12 @@ class World:
     base_pages: int = 60          # rank-1 host category*product budget scale
     zipf_a: float = 1.1
     fail_rate: float = 0.02       # deterministic fetch failures
+    # fan-out knobs (defaults = small test world; bench raises them)
+    cat_min: int = 2
+    cat_span: int = 2
+    per_page_min: int = 3
+    per_page_span: int = 3
+    max_pag: int = 4
 
     # ---- host enumeration -------------------------------------------------
     def hosts(self) -> list[dict]:
@@ -98,8 +104,8 @@ class World:
             return None
         n_pages = max(6, int(self.base_pages * rank ** (-self.zipf_a)))
         g = _rng(self.seed, host, "params")
-        n_categories = 2 + g.randrange(2)
-        products_per_cat_page = 3 + g.randrange(3)
+        n_categories = self.cat_min + g.randrange(self.cat_span)
+        products_per_cat_page = self.per_page_min + g.randrange(self.per_page_span)
         # pagination depth absorbs the page budget
         pag_pages = max(1, n_pages // (n_categories * products_per_cat_page))
         flavor = host.split(".")[1].rstrip("0123456789")
@@ -108,7 +114,7 @@ class World:
             "rank": rank,
             "n_categories": n_categories,
             "per_page": products_per_cat_page,
-            "pag_pages": min(4, pag_pages),
+            "pag_pages": min(self.max_pag, pag_pages),
             "flavor": flavor,
             "product_path": builder,
         }
