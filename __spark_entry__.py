@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_dedup": _q_doc_fingerprint_dedup,
         "doc_token_stats": _q_doc_token_stats,
         "events_tumbling_agg": _q_events_tumbling,
+        **_extra_queries(),
     }
 
 
@@ -571,5 +572,298 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS window_start,
                    event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        **_extra_oracles(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline extras: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+from webcrawlerfull_spark.functions import textstats as T  # noqa: E402
+from webcrawlerfull_spark.operators import multimodal as MM  # noqa: E402
+from webcrawlerfull_spark.operators import similarity as SIM  # noqa: E402
+from webcrawlerfull_spark.operators import textdedup as TD  # noqa: E402
+
+_EN = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+_ES = ", ".join(f"'{w}'" for w in T.ES_STOPWORDS)
+_DE = ", ".join(f"'{w}'" for w in T.DE_STOPWORDS)
+
+
+def _q_lang_id(spark, sf_dir):
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    return docs.select("doc_id", T.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def _q_quality(spark, sf_dir):
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _near_dup_corpus(spark, sf_dir):
+    """documents plus a mutated copy of each (last token dropped) so the
+    near-dup detectors have true positives; same construction in SQL."""
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+_NEAR_DUP_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         regexp_replace(text, '\\s+\\S+$', '') AS text
+  FROM documents
+"""
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return TD.minhash_candidate_pairs(corpus, "doc_id", "text", k=12, bands=4)
+
+
+def _q_simhash(spark, sf_dir):
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id", TD.simhash16(F.col("text")).cast("long").alias("simhash")
+    )
+
+
+def _query_vec(spark, sf_dir):
+    _register(spark, sf_dir)
+    return [
+        float(x)
+        for x in spark.table("embeddings").where(F.col("vec_id") == 0).first()[
+            "embedding"
+        ]
+    ]
+
+
+def _q_ann_cosine(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    emb = spark.table("embeddings")
+    top = SIM.cosine_topk(emb, qv, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    emb = spark.table("embeddings")
+    top = SIM.lsh_topk(emb, qv, dims=len(qv), k=10, planes=8)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _q_media_features(spark, sf_dir):
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    media = MM.synth_media(docs)
+    feats = MM.extract_features(media, n_features=8, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    _register(spark, sf_dir)
+    media = MM.synth_media(spark.table("documents"))
+    return MM.frame_sample(media, every_n=10).select("media_id", "frame_no")
+
+
+def _lang_hits_sql(words: str) -> str:
+    return (
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+def _simhash_sql() -> str:
+    nib = (
+        "(strpos('0123456789abcdef', substring(md5(t), {pos}, 1)) - 1)"
+    )
+    terms = []
+    for b in range(16):
+        nibble_idx, bit = divmod(b, 4)
+        v = nib.format(pos=nibble_idx + 1)
+        vote = (
+            "list_sum(list_transform(toks, t -> CASE WHEN "
+            f"CAST(floor({v} / {2 ** bit}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+        SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM tok
+    """
+
+
+def _minhash_sql(k: int = 12, bands: int = 4) -> str:
+    r = k // bands
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '|{j}'))) AS m{j}"
+        for j in range(k)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"m{b * r + i}" for i in range(r)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+        WITH corpus AS ({_NEAR_DUP_SQL}),
+        tok AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          FROM corpus),
+        sh_t AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM tok),
+        sigs AS (SELECT doc_id, {mh} FROM sh_t),
+        banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+        stacked AS ({band_rows})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM stacked a JOIN stacked b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+    """
+
+
+def _lsh_sig_sql(vec: str, dims: int, planes: int = 8) -> str:
+    bits = []
+    for p_i in range(planes):
+        terms = []
+        for d in range(dims):
+            sign = "+" if SIM.plane_weight(p_i, d) > 0 else "-"
+            terms.append(f"{sign} {vec}[{d + 1}]")
+        bits.append(
+            f"CASE WHEN ({' '.join(terms)}) > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def _byte_val_sql(hexcol: str, i: int) -> str:
+    c1 = f"(strpos('0123456789abcdef', substring({hexcol}, {2 * i + 1}, 1)) - 1)"
+    c2 = f"(strpos('0123456789abcdef', substring({hexcol}, {2 * i + 2}, 1)) - 1)"
+    return f"({c1} * 16 + {c2})"
+
+
+def _extra_queries():
+    return {
+        "doc_lang_id": _q_lang_id,
+        "doc_quality_score": _q_quality,
+        "dedup_minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "media_feature_extract": _q_media_features,
+        "media_frame_sample": _q_frame_sample,
+    }
+
+
+def _extra_oracles():
+    dims = 64
+    cos = (
+        "list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))"
+    )
+    return {
+        "doc_lang_id": f"""
+            WITH hits AS (
+              SELECT doc_id,
+                     {_lang_hits_sql(_EN)} AS en,
+                     {_lang_hits_sql(_ES)} AS es,
+                     {_lang_hits_sql(_DE)} AS de
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                        WHEN es >= de AND es > 0 THEN 'es'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'unk' END AS lang_guess
+            FROM hits
+        """,
+        "doc_quality_score": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           / greatest(length(text), 1), 4) AS punct_ratio,
+                     {_lang_hits_sql(_EN)} AS en_hits
+              FROM documents)
+            SELECT doc_id, n_tokens, punct_ratio,
+                   round(
+                     (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN en_hits > 0 THEN 0.3 ELSE 0.0 END), 4) AS quality
+            FROM base
+        """,
+        "dedup_minhash_lsh_pairs": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "ann_cosine_topk": f"""
+            SELECT vec_id, round({cos}, 4) AS cosine_r
+            FROM embeddings
+            ORDER BY {cos} DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_lsh_topk": f"""
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            sigs AS (
+              SELECT vec_id, embedding,
+                     {_lsh_sig_sql("CAST(embedding AS DOUBLE[])", dims)} AS sig
+              FROM embeddings),
+            qsig AS (SELECT {_lsh_sig_sql("qv", dims)} AS sig FROM q)
+            SELECT vec_id, round({cos}, 4) AS cosine_r
+            FROM sigs WHERE sig = (SELECT sig FROM qsig)
+            ORDER BY {cos} DESC, vec_id
+            LIMIT 10
+        """,
+        "media_feature_extract": f"""
+            WITH media AS (
+              SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     unhex(md5(text) || md5(text || '2')) AS payload
+              FROM documents),
+            hashed AS (
+              SELECT media_id, kind, octet_length(payload) AS n_bytes,
+                     sha256(lower(hex(payload))) AS h
+              FROM media)
+            SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+                   round({_byte_val_sql("h", 0)} / 255.0, 4) AS f0
+            FROM hashed
+        """,
+        "media_frame_sample": """
+            WITH media AS (
+              SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     octet_length(unhex(md5(text) || md5(text || '2'))) AS n_bytes
+              FROM documents)
+            SELECT media_id, CAST(f.i AS INT) AS frame_no
+            FROM media, LATERAL (
+              SELECT unnest(range(least(greatest(1, n_bytes // 10), 5))) AS i) f
+            WHERE kind = 'video'
         """,
     }

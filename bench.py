@@ -79,6 +79,10 @@ def main() -> None:
         crawl_wall = time.monotonic() - t0
         fetched = res.lineage.agg(F.sum("fetched")).collect()[0][0] or 0
         products = res.products.count()
+        round_walls = {
+            f"round{r['round']}": r["wall_ms"] / 1000.0
+            for r in res.lineage.select("round", "wall_ms").collect()
+        }
     timings["crawl_3_rounds"] = round(crawl_wall, 3)
     urls_per_sec = round(fetched / crawl_wall, 2) if crawl_wall else 0.0
 
@@ -101,6 +105,7 @@ def main() -> None:
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
                 "urls_fetched_parsed_per_sec": urls_per_sec,
                 "crawl_fetched": int(fetched),
+                "round_walls": round_walls,
                 "crawl_products": int(products),
                 "cpus": cpus,
             }

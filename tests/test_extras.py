@@ -1,0 +1,118 @@
+"""Training-data pipeline extras: dedup, similarity, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawlerfull_spark.functions import textstats as T
+from webcrawlerfull_spark.operators import multimodal as MM
+from webcrawlerfull_spark.operators import similarity as SIM
+from webcrawlerfull_spark.operators import textdedup as TD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away"),  # near-dup of 1
+        (3, "completely different text about spark engines and shuffles here now"),
+        (4, "el gato y el perro en la casa de los abuelos es grande"),
+        (5, "THE QUICK  brown fox jumps over the lazy dog and runs away fast"),  # case/ws dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes_case_and_ws(spark, docs):
+    out = TD.exact_dedup(docs)
+    dupes = {r["kept_doc_id"]: r["n_dupes"] for r in out.collect()}
+    assert dupes[1] == 2  # doc 5 collapses onto doc 1
+    assert sum(dupes.values()) == 5
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in TD.minhash_candidate_pairs(docs, k=12, bands=4).collect()
+    }
+    assert (1, 2) in pairs or (1, 5) in pairs
+    assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_verify(spark, docs):
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in TD.ngram_jaccard_pairs(docs, cands, threshold=0.0).collect()
+    }
+    assert out[(1, 2)] > 0.5
+    assert out[(1, 3)] < 0.1
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", TD.simhash16(F.col("text")).alias("sh")
+    ).collect()}
+    ham_12 = bin(out[1] ^ out[2]).count("1")
+    ham_13 = bin(out[1] ^ out[3]).count("1")
+    assert ham_12 < ham_13
+
+
+def test_lang_guess(spark, docs):
+    out = {r["doc_id"]: r["lg"] for r in docs.select(
+        "doc_id", T.lang_guess(F.col("text")).alias("lg")
+    ).collect()}
+    assert out[1] == "en"
+    assert out[4] == "es"
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = rows[5][1]
+    top = SIM.cosine_topk(emb, qv, k=3).collect()
+    assert top[0]["vec_id"] in (5, 16, 27, 38, 49)  # identical vectors mod 11 cycle
+    assert abs(top[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rows = [(i, [float((i * 13 + j) % 7 - 3) for j in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = rows[2][1]
+    exact = [r["vec_id"] for r in SIM.cosine_topk(emb, qv, k=1).collect()]
+    approx = [r["vec_id"] for r in SIM.lsh_topk(emb, qv, dims=8, k=1).collect()]
+    assert approx  # bucket contains at least the query-identical vectors
+    assert exact[0] == approx[0]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = MM.synth_media(docs)
+    assert media.schema == MM.MEDIA
+    feats = MM.extract_features(media, n_features=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["features"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["features"])
+    # determinism
+    again = MM.extract_features(media, n_features=8, fake=True).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"xx", fake=False)
+
+
+def test_frame_sample_only_videos(spark, docs):
+    media = MM.synth_media(docs)
+    frames = MM.frame_sample(media).collect()
+    kinds = {r["media_id"] for r in frames}
+    video_ids = {
+        r["media_id"] for r in media.where(F.col("kind") == "video").collect()
+    }
+    assert kinds == video_ids
+    assert all(r["frame_no"] >= 0 for r in frames)

@@ -1,0 +1,141 @@
+"""Scale-path behaviors the reference can't express: per-host politeness
+budgets, robots gating, hot-host salting invariants, and the Structured
+Streaming analogue over the events table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawlerfull_spark.config import CrawlConfig
+from webcrawlerfull_spark.plans.round import apply_robots, politeness_schedule
+from webcrawlerfull_spark.operators.frontier import seed_frontier
+from webcrawlerfull_spark.sources.catalog import Catalog
+from webcrawlerfull_spark.streaming.driver import crawl
+from webcrawlerfull_spark.synthgen import World
+
+
+def _frontier(spark, n_per_host=50, hosts=("a", "b", "c")):
+    rows = []
+    for h in hosts:
+        for i in range(n_per_host):
+            rows.append(
+                {
+                    "url": f"https://{h}.example.com/p/{i}",
+                    "host": f"{h}.example.com",
+                    "domain": f"https://{h}.example.com",
+                    "depth": 1,
+                    "priority": i % 2,
+                    "discovery_seq": i,
+                    "salt_bucket": 0,
+                    "round": 1,
+                    "queue_pos": i,
+                }
+            )
+    return spark.createDataFrame(rows)
+
+
+def test_politeness_budget_respected(spark):
+    f = _frontier(spark)
+    scheduled, deferred = politeness_schedule(f, budget=7, salt_partitions=4)
+    per_host = {
+        r["host"]: r["n"]
+        for r in scheduled.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 7 for n in per_host.values())
+    assert deferred.count() == 3 * (50 - 7)
+    # scheduled are the budget-best by (depth, priority, discovery_seq)
+    got = sorted(
+        r["discovery_seq"]
+        for r in scheduled.where(F.col("host") == "a.example.com").collect()
+    )
+    expected = sorted(
+        range(0, 50, 2), key=lambda i: (0, i)
+    )[:7]  # priority 0 rows first
+    assert got == expected
+
+
+def test_politeness_crawl_drains_frontier(spark, tmp_path_factory):
+    """With a finite budget the crawl takes more rounds but visits the
+    same URL set as parity mode."""
+    world = World(seed=42, n_hosts=3, base_pages=40)
+    seeds = world.seeds()
+    cat_a = Catalog(spark, str(tmp_path_factory.mktemp("parity")))
+    res_a = crawl(
+        spark, seeds, CrawlConfig(max_depth=2, shuffle_partitions=8), world, cat_a
+    )
+    cat_b = Catalog(spark, str(tmp_path_factory.mktemp("budget")))
+    res_b = crawl(
+        spark,
+        seeds,
+        CrawlConfig(max_depth=2, politeness_budget=3, shuffle_partitions=8),
+        world,
+        cat_b,
+    )
+    seen_a = {r["url"] for r in res_a.seen.collect()}
+    seen_b = {r["url"] for r in res_b.seen.collect()}
+    assert res_b.rounds_run > res_a.rounds_run
+    assert seen_b == seen_a
+    # budget respected per (host, round)
+    for rnd in cat_b.committed_rounds("seen"):
+        per_host = (
+            cat_b.read_round("seen", rnd)
+            .join(cat_b.read_round("frontier", rnd), "url")
+            .groupBy("host")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        assert all(r["n"] <= 3 for r in per_host)
+
+
+def test_robots_gating(spark):
+    f = _frontier(spark, n_per_host=10, hosts=("a", "b"))
+    robots = spark.createDataFrame(
+        [{"host": "a.example.com", "disallow_prefixes": ["/p/"]}]
+    )
+    out = apply_robots(f, robots)
+    hosts = {r["host"] for r in out.select("host").distinct().collect()}
+    assert hosts == {"b.example.com"}
+
+
+def test_streaming_micro_batch_events(spark, sf_dir):
+    """Structured Streaming analogue: the same tumbling aggregation as the
+    batch events_tumbling_agg query, run through readStream+foreachBatch
+    over the events parquet (micro-batch execution path)."""
+    import os
+    import tempfile
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(ev_path)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_path)
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("long")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(bucket.alias("ws"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ev_agg")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM ev_agg").collect()
+    }
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in batch.groupBy(bucket.alias("ws"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected

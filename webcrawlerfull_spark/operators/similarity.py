@@ -1,0 +1,101 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. Dot products via
+  ``zip_with`` + ``aggregate`` higher-order functions — JVM-side, no UDF.
+- LSH-bucketed ANN: random-hyperplane signature (hash-derived ±1
+  weights, so the planes are reproducible everywhere with no stored
+  model), bucket by signature, exact cosine only within the query's
+  bucket. The scale path: the full-corpus scan becomes one bucket scan;
+  at 100 TB bucket the corpus ONCE, then every query reads one bucket
+  partition (partition pruning on the signature column).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (
+        F.greatest(_norm(a), F.lit(1e-12)) * F.greatest(_norm(b), F.lit(1e-12))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine similarity to a literal query."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col), q)
+    return (
+        embeddings.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def plane_weight(plane: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane weight from md5 — reproducible on any
+    engine (no stored model)."""
+    h = hashlib.md5(f"{plane},{dim}".encode()).hexdigest()
+    return 1 if h[0] in "01234567" else -1
+
+
+def lsh_signature(vec_col, dims: int, planes: int = 8):
+    """Bit-string signature: sign of <w_p, x> per hyperplane."""
+    bits = []
+    for p in range(planes):
+        proj = F.lit(0.0)
+        for d in range(dims):
+            w = plane_weight(p, d)
+            term = F.element_at(vec_col, d + 1).cast("double")
+            proj = proj + (term if w > 0 else -term)
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dims: int,
+    k: int = 10,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: exact cosine within the query's hyperplane bucket only
+    (recall < 1 by design; deterministic)."""
+    q_sig = "".join(
+        "1"
+        if sum(plane_weight(p, d) * float(query_vec[d]) for d in range(dims)) > 0
+        else "0"
+        for p in range(planes)
+    )
+    bucketed = embeddings.withColumn("sig", lsh_signature(F.col(vec_col), dims, planes))
+    candidates = bucketed.where(F.col("sig") == F.lit(q_sig))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)

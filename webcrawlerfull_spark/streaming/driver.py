@@ -72,6 +72,15 @@ def crawl(
             return _result(spark, catalog, rounds_run=0)
 
     rounds_run = 0
+    # seen cardinality is tracked incrementally (scheduled sets are
+    # disjoint across rounds by construction) — resuming rebuilds the
+    # running total from committed lineage instead of re-counting state
+    prior_lineage = catalog.read_all("lineage")
+    seen_total = (
+        (prior_lineage.agg(F.sum("fetched")).collect()[0][0] or 0)
+        if prior_lineage is not None
+        else 0
+    )
     # in parity mode one round == one reference depth, bounded by max_depth;
     # with a politeness budget the frontier drains over more rounds
     hard_stop = cfg.max_depth if cfg.politeness_budget is None else 10_000
@@ -93,6 +102,7 @@ def crawl(
         )
         out.scheduled.persist()
         out.pages.persist()
+        out.mentions.persist()
 
         # seen delta FIRST (mark-before-fetch, tasks.py:438-440: even if the
         # rest of the round is re-run, these URLs are never re-scheduled —
@@ -116,9 +126,12 @@ def crawl(
         )
 
         # incremental first-touch attribution: within-round first mention,
-        # minus urls already attributed in earlier rounds (J7)
+        # minus urls already attributed in earlier rounds (J7). Reads the
+        # just-written mentions parquet back — truncates the lineage of
+        # the cascade plan instead of recomputing it per consumer.
         prior = catalog.read_all("products", up_to_round=round_id - 1)
-        new_products = first_touch(out.mentions, ["queue_pos", "parser_rank"])
+        mentions_stored = catalog.read_round("mentions", round_id)
+        new_products = first_touch(mentions_stored, ["queue_pos", "parser_rank"])
         if prior is not None:
             new_products = new_products.join(
                 prior.select("url"), "url", "left_anti"
@@ -138,7 +151,8 @@ def crawl(
         fetched = out.scheduled.count()
         parsed = out.pages.where(F.col("status") == "ok").count()
         n_products = catalog.read_round("products", round_id).count()
-        seen_card = (catalog.read_all("seen", up_to_round=round_id) or _empty_seen(spark)).count()
+        seen_total += fetched
+        seen_card = seen_total
         frontier_size = frontier.count()
         wall_ms = int((time.monotonic() - t0) * 1000)
         lineage_row = spark.createDataFrame(
@@ -160,6 +174,7 @@ def crawl(
 
         out.scheduled.unpersist()
         out.pages.unpersist()
+        out.mentions.unpersist()
         round_id += 1
         rounds_run += 1
         if fetched == 0:
