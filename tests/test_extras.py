@@ -90,7 +90,9 @@ def test_lsh_topk_subset_of_bucket(spark):
 
 def test_multimodal_plumbing(spark, docs):
     media = MM.synth_media(docs)
-    assert media.schema == MM.MEDIA
+    got = [(f.name, f.dataType.simpleString()) for f in media.schema.fields]
+    exp = [(f.name, f.dataType.simpleString()) for f in MM.MEDIA.fields]
+    assert got == exp
     feats = MM.extract_features(media, n_features=8, fake=True)
     rows = feats.collect()
     assert len(rows) == 5
