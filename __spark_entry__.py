@@ -573,6 +573,17 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+
+        "s12_simplify_domain": f"""
+            {corpus}
+            SELECT regexp_extract(lower(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1)),
+                                  '([^.]+)\\.([^.]+)$', 1)
+                   || '_' ||
+                   regexp_extract(lower(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1)),
+                                  '([^.]+)\\.([^.]+)$', 2) AS domain_key,
+                   COUNT(*) AS n
+            FROM corpus GROUP BY 1
+        """,
         **_extra_oracles(),
     }
 
@@ -685,6 +696,19 @@ def _q_frame_sample(spark, sf_dir):
     return MM.frame_sample(media, every_n=10).select("media_id", "frame_no")
 
 
+
+
+def _q_simplify_domain(spark, sf_dir):
+    from webcrawlerfull_spark.api import simplify_domain
+
+    c = _corpus(spark, sf_dir)
+    return (
+        c.select(simplify_domain(F.col("url")).alias("domain_key"))
+        .groupBy("domain_key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _lang_hits_sql(words: str) -> str:
     return (
         "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
@@ -779,6 +803,7 @@ def _extra_queries():
         "ann_lsh_topk": _q_ann_lsh,
         "media_feature_extract": _q_media_features,
         "media_frame_sample": _q_frame_sample,
+        "s12_simplify_domain": _q_simplify_domain,
     }
 
 

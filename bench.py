@@ -48,7 +48,7 @@ BENCH_QUERIES = [
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_hosts = int(os.environ.get("BENCH_HOSTS", "40"))
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "600"))
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = get_spark(

@@ -11,11 +11,11 @@ iff the page's simple set has < 5 URLs; page product set = simple ∪
 Everything here is one groupBy + windows over the page key — the
 "short-circuit" is a when/otherwise condition, not control flow.
 
-Outputs:
-- ``page_products``: distinct (page, product_url) with the page-level
-  attributed parser (cascade order within the page) and parser_rank
-- ``page_parser_counts``: per (page, parser) found-URL counts — the
-  inputs to the reference's parser_stats totals (tasks.py:619-621)
+Output: ``page_products`` — distinct (page, product_url) with the
+page-level attributed parser (cascade order within the page),
+parser_rank, and the raw simple/config/config_ran flags so parser_stats
+totals (tasks.py:619-621) are recoverable from the stored mentions with
+no second cascade pass.
 """
 
 from __future__ import annotations
@@ -65,7 +65,7 @@ def product_candidates(pages: DataFrame) -> DataFrame:
     )
 
 
-def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+def run_cascade(pages: DataFrame) -> DataFrame:
     cand = product_candidates(pages)
     purl = (
         cand.where(F.col("simple_hit") | F.col("config_hit"))
@@ -81,6 +81,9 @@ def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.count(F.when(F.col("simple"), F.lit(1))).over(w_page),
     ).withColumn("config_ran", F.col("n_simple") < C.CASCADE_EARLY_EXIT)
 
+    # the simple/config/config_ran flags travel with each product row so
+    # per-page parser stats (A1) are derivable later from the stored
+    # mentions alone — no second cascade pass
     page_products = (
         purl.where(F.col("simple") | (F.col("config") & F.col("config_ran")))
         .withColumn(
@@ -102,16 +105,21 @@ def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("product_url").alias("url"),
             "parser",
             "parser_rank",
+            "simple",
+            "config",
+            "config_ran",
         )
     )
+    return page_products
 
-    page_parser_counts = (
-        purl.groupBy("page_url", "host", "domain", "depth", "queue_pos")
-        .agg(
-            F.count(F.when(F.col("simple"), F.lit(1))).alias("simple_found"),
-            F.count(
-                F.when(F.col("config") & F.col("config_ran"), F.lit(1))
-            ).alias("config_found"),
-        )
+
+def page_stats_from_mentions(mentions: DataFrame) -> DataFrame:
+    """A1 inputs recovered from the stored mentions table (one row per
+    page-level product/sequential mention with cascade flags)."""
+    return mentions.groupBy("page_url", "host", "domain", "depth", "queue_pos").agg(
+        F.count(F.when(F.col("simple"), F.lit(1))).alias("simple_found"),
+        F.count(
+            F.when(F.col("config") & F.col("config_ran"), F.lit(1))
+        ).alias("config_found"),
+        F.count(F.when(F.col("parser") == "sequential", F.lit(1))).alias("seq_found"),
     )
-    return page_products, page_parser_counts

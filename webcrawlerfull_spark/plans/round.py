@@ -35,8 +35,7 @@ from webcrawlerfull_spark.synthgen import World
 class RoundOutput:
     scheduled: DataFrame      # (url, …, queue_pos) — becomes the seen delta
     pages: DataFrame          # PARSED_PAGE + queue_pos
-    mentions: DataFrame       # (url, domain, parser, parser_rank, depth, queue_pos)
-    page_stats: DataFrame     # per-page parser found-counts (A1 inputs)
+    mentions: DataFrame       # one row per product/seq mention + cascade flags
     next_frontier: DataFrame
 
 
@@ -109,7 +108,7 @@ def run_round(
     to_fetch = scheduled.repartition(cfg.shuffle_partitions, F.xxhash64("url"))
     pages = fetch_and_parse(to_fetch, world, extra_cols=["queue_pos"])
 
-    page_products, page_parser_counts = casc.run_cascade(pages)
+    page_products = casc.run_cascade(pages)
 
     seq = seqgen.generate_sequential_urls(
         page_products.select("page_url", "host", "domain", "depth", "queue_pos", "url"),
@@ -118,28 +117,18 @@ def run_round(
         carry_cols=["host", "domain", "depth", "queue_pos"],
     ).withColumn("parser", F.lit("sequential")).withColumn(
         "parser_rank", F.lit(casc.PARSER_RANK["sequential"])
-    )
+    ).withColumn("simple", F.lit(False)).withColumn(
+        "config", F.lit(False)
+    ).withColumn("config_ran", F.lit(False))
 
-    mentions = page_products.select(
-        "url", "page_url", "host", "domain", "depth", "queue_pos", "parser", "parser_rank"
-    ).unionByName(
-        seq.select(
-            "url", "page_url", "host", "domain", "depth", "queue_pos", "parser", "parser_rank"
-        )
-    ).withColumn("round", F.lit(round_id))
-
-    # per-page stats incl. sequential counts (pages with zero parser hits
-    # contribute nothing — reference `if urls:` guard, tasks.py:618)
-    seq_counts = seq.groupBy("page_url").agg(F.count("*").alias("seq_found"))
-    page_stats = page_parser_counts.join(seq_counts, "page_url", "left").select(
-        "page_url",
-        "host",
-        "domain",
-        "depth",
-        "queue_pos",
-        "simple_found",
-        "config_found",
-        F.coalesce("seq_found", F.lit(0)).alias("seq_found"),
+    cols = [
+        "url", "page_url", "host", "domain", "depth", "queue_pos",
+        "parser", "parser_rank", "simple", "config", "config_ran",
+    ]
+    mentions = (
+        page_products.select(*cols)
+        .unionByName(seq.select(*cols))
+        .withColumn("round", F.lit(round_id))
     )
 
     next_frontier = fr.build_next_frontier(
@@ -153,7 +142,6 @@ def run_round(
         scheduled=scheduled,
         pages=pages,
         mentions=mentions,
-        page_stats=page_stats,
         next_frontier=next_frontier,
     )
 

@@ -30,6 +30,7 @@ from webcrawlerfull_spark import schemas
 from webcrawlerfull_spark.config import CrawlConfig
 from webcrawlerfull_spark.operators.bloom import update_filters
 from webcrawlerfull_spark.operators.attribution import first_touch
+from webcrawlerfull_spark.operators.cascade import page_stats_from_mentions
 from webcrawlerfull_spark.operators.frontier import seed_frontier
 from webcrawlerfull_spark.plans.round import run_round
 from webcrawlerfull_spark.sources.catalog import Catalog
@@ -88,7 +89,8 @@ def crawl(
         if max_rounds is not None and rounds_run >= max_rounds:
             break
         frontier = catalog.read_round("frontier", round_id)
-        if frontier.isEmpty():
+        frontier_size = frontier.count()
+        if frontier_size == 0:
             break
         seen = catalog.read_all("seen", up_to_round=round_id - 1) or _empty_seen(spark)
         seen_filters = None
@@ -121,16 +123,21 @@ def crawl(
             )
             catalog.write_round(new_filters, "seen_bloom", round_id)
         catalog.write_round(out.mentions, "mentions", round_id)
+
+        # everything downstream (page stats, attribution) derives from the
+        # stored mentions parquet — the cascade plan runs exactly once
+        mentions_stored = catalog.read_round("mentions", round_id)
         catalog.write_round(
-            out.page_stats.withColumn("round", F.lit(round_id)), "page_stats", round_id
+            page_stats_from_mentions(mentions_stored).withColumn(
+                "round", F.lit(round_id)
+            ),
+            "page_stats",
+            round_id,
         )
 
         # incremental first-touch attribution: within-round first mention,
-        # minus urls already attributed in earlier rounds (J7). Reads the
-        # just-written mentions parquet back — truncates the lineage of
-        # the cascade plan instead of recomputing it per consumer.
+        # minus urls already attributed in earlier rounds (J7)
         prior = catalog.read_all("products", up_to_round=round_id - 1)
-        mentions_stored = catalog.read_round("mentions", round_id)
         new_products = first_touch(mentions_stored, ["queue_pos", "parser_rank"])
         if prior is not None:
             new_products = new_products.join(
@@ -147,13 +154,17 @@ def crawl(
         catalog.write_round(new_products, "products", round_id)
         catalog.write_round(out.next_frontier, "frontier", round_id + 1)
 
-        # lineage LAST = the commit marker (A7 metrics, north-rule set)
-        fetched = out.scheduled.count()
-        parsed = out.pages.where(F.col("status") == "ok").count()
+        # lineage LAST = the commit marker (A7 metrics, north-rule set).
+        # pages has exactly one row per scheduled URL, so one agg job
+        # yields both fetch and parse counts.
+        counts = out.pages.agg(
+            F.count("*").alias("fetched"),
+            F.count(F.when(F.col("status") == "ok", F.lit(1))).alias("parsed"),
+        ).collect()[0]
+        fetched, parsed = counts["fetched"], counts["parsed"]
         n_products = catalog.read_round("products", round_id).count()
         seen_total += fetched
         seen_card = seen_total
-        frontier_size = frontier.count()
         wall_ms = int((time.monotonic() - t0) * 1000)
         lineage_row = spark.createDataFrame(
             [
