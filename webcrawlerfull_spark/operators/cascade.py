@@ -1,41 +1,132 @@
-"""O7/A1/J3 — the parser cascade as columnar logic.
+"""O7/G1/A1/J3 — the parser cascade, sequential generation, and per-page
+stats as SHUFFLE-FREE higher-order array expressions.
 
 Reference control flow (/root/reference/worker/src/tasks.py:607-633):
 per page, run parsers in order [simple, config, ai]; after each parser
-that found anything, stop if the page's cumulative product set reached 5.
-The AI parser is a deterministic stub (returns nothing — SURVEY.md §2.3
-H5), so the observable rule collapses to: simple always runs; config runs
-iff the page's simple set has < 5 URLs; page product set = simple ∪
-(config if it ran).
+that found anything, stop once the page's cumulative product set has 5+
+URLs. The AI parser is a deterministic stub (SURVEY.md §2.3 H5), so the
+observable rule collapses to: simple always runs; config runs iff the
+page's simple set has < 5 URLs; page product set = simple ∪ (config if
+it ran). Sequential generation (tasks.py:112-163, canonicalized per
+FIXTURES.md §5) then runs on pages with >= 3 products.
 
-Everything here is one groupBy + windows over the page key — the
-"short-circuit" is a when/otherwise condition, not control flow.
+KEY SCALE PROPERTY: all of the above is per-page semantics, and a page's
+anchors live in ONE row (the spans array). So the whole cascade is
+``filter``/``transform``/``array_distinct``/``array_except``/``flatten``
+on that array — a narrow projection, zero shuffle, whole-stage codegen.
+The earlier implementation exploded ~45 anchors/page into a groupBy +
+three windows (a multi-GB shuffle at 10^6 pages/round); this one
+shuffles nothing until the cross-page operators (url dedup J2,
+attribution J7), which genuinely need it.
 
-Output: ``page_products`` — distinct (page, product_url) with the
-page-level attributed parser (cascade order within the page),
-parser_rank, and the raw simple/config/config_ran flags so parser_stats
-totals (tasks.py:619-621) are recoverable from the stored mentions with
-no second cascade pass.
+Output ``mentions``: one row per (page, product-url, parser) in cascade
+order, plus per-page ``page_stats`` scalars (A1 inputs).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from webcrawlerfull_spark import config as C
 from webcrawlerfull_spark.functions import predicates as P
 
-PAGE_COLS = ["url", "host", "domain", "depth", "queue_pos"]
+PAGE_COLS = ["page_url", "host", "domain", "depth", "queue_pos"]
 PARSER_RANK = {name: i for i, name in enumerate(C.PARSER_CASCADE + ["sequential"])}
 
+_SEQ_PATTERNS = C.SEQUENTIAL_NUMBER_PATTERNS
+_NO_PATTERN = len(_SEQ_PATTERNS)  # sentinel: url matches no numeric pattern
 
-def product_candidates(pages: DataFrame) -> DataFrame:
-    """Explode anchors of fetched pages and evaluate both pattern sets.
-    The reference matches patterns on the joined absolute URL with NO
-    internal-host filter (_pattern_parser.py:31-36) and emits
-    ``full_url.rstrip('/')``."""
-    anchors = (
+
+def _link_urls(spans: Column) -> Column:
+    """All anchor URLs of the page in document order (the reference
+    matches product patterns on every anchor, internal or not —
+    _pattern_parser.py:31-36)."""
+    return F.transform(
+        F.filter(spans, lambda s: s["kind"].isin("link", "pagination")),
+        lambda s: s["media_ref"],
+    )
+
+
+def _matched_products(urls: Column, pattern: str) -> Column:
+    """Match on the full URL, emit rstrip('/'), distinct — H2 semantics
+    (sortedness is irrelevant inside a set; ordering is canonicalized
+    downstream)."""
+    return F.array_distinct(
+        F.transform(
+            F.filter(urls, lambda u: u.rlike(pattern)),
+            lambda u: F.regexp_replace(u, "/+$", ""),
+        )
+    )
+
+
+def _config_products(urls: Column, key: Column) -> Column:
+    expr = _matched_products(urls, P.SIMPLE_COMBINED)  # 'default' key
+    for k, combined in P._DOMAIN_COMBINED.items():
+        if k == "default":
+            continue
+        expr = F.when(key == F.lit(k), _matched_products(urls, combined)).otherwise(
+            expr
+        )
+    return expr
+
+
+def _pat_idx(u: Column) -> Column:
+    """Index of the first sequential-number pattern this URL matches."""
+    expr = F.lit(_NO_PATTERN)
+    for i in reversed(range(len(_SEQ_PATTERNS))):
+        expr = F.when(
+            F.regexp_extract(u, _SEQ_PATTERNS[i], 1) != "", F.lit(i)
+        ).otherwise(expr)
+    return expr
+
+
+def _extract_for(u: Column, page_pat: Column, group: int) -> Column:
+    expr = F.lit(None).cast("string")
+    for i in reversed(range(len(_SEQ_PATTERNS))):
+        expr = F.when(
+            page_pat == i, F.regexp_extract(u, _SEQ_PATTERNS[i], group)
+        ).otherwise(expr)
+    return expr
+
+
+def _seq_generated(products_sorted: Column) -> Column:
+    """G1 as array expressions: sample = first 10 sorted; page pattern =
+    min matched index over the sample; generate n±1..3 (decrement only
+    when positive — exactly the reference's num > i guard); exclude the
+    page's own products; sorted 30-cap."""
+    sample = F.slice(products_sorted, 1, C.SEQGEN_SAMPLE)
+    page_pat = F.array_min(F.transform(sample, _pat_idx))
+    matched = F.filter(sample, lambda u: _pat_idx(u) == page_pat)
+
+    def gen_for_url(u: Column) -> Column:
+        g0 = _extract_for(u, page_pat, 0)
+        g1 = _extract_for(u, page_pat, 1)
+        num = g1.cast("long")
+        deltas = F.filter(
+            F.array(num + 1, num + 2, num + 3, num - 1, num - 2, num - 3),
+            lambda d: d > 0,
+        )
+        return F.transform(
+            deltas,
+            lambda d: F.replace(u, g0, F.replace(g0, g1, d.cast("string"))),
+        )
+
+    generated = F.array_distinct(F.flatten(F.transform(matched, gen_for_url)))
+    fresh = F.array_sort(F.array_except(generated, products_sorted))
+    return F.when(
+        (F.size(products_sorted) >= C.SEQGEN_MIN_PRODUCTS) & (page_pat != _NO_PATTERN),
+        F.slice(fresh, 1, C.SEQGEN_MAX_URLS),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """pages: PARSED_PAGE(+queue_pos). Returns (mentions, page_stats) —
+    mentions in cascade order (parser_rank) per page."""
+    urls = _link_urls(F.col("spans"))
+    key = P.config_key(P.url_authority(F.col("url")))
+
+    enriched = (
         pages.where(F.col("status") == "ok")
         .select(
             F.col("url").alias("page_url"),
@@ -43,83 +134,55 @@ def product_candidates(pages: DataFrame) -> DataFrame:
             "domain",
             "depth",
             "queue_pos",
-            F.explode("spans").alias("span"),
+            _matched_products(urls, P.SIMPLE_COMBINED).alias("simple_arr"),
+            _config_products(urls, key).alias("config_arr"),
         )
-        .where(F.col("span.kind").isin("link", "pagination"))
-        .select(
-            "page_url",
-            "host",
-            "domain",
-            "depth",
-            "queue_pos",
-            F.col("span.media_ref").alias("full_url"),
-        )
-    )
-    return anchors.withColumn(
-        "product_url", P.rstrip_slash(F.col("full_url"))
-    ).withColumn("simple_hit", P.is_product_url(F.col("full_url"))).withColumn(
-        "config_hit",
-        P.config_product_match(
-            F.col("full_url"), P.config_key(P.url_authority(F.col("page_url")))
-        ),
-    )
-
-
-def run_cascade(pages: DataFrame) -> DataFrame:
-    cand = product_candidates(pages)
-    purl = (
-        cand.where(F.col("simple_hit") | F.col("config_hit"))
-        .groupBy("page_url", "host", "domain", "depth", "queue_pos", "product_url")
-        .agg(
-            F.max("simple_hit").alias("simple"),
-            F.max("config_hit").alias("config"),
-        )
-    )
-    w_page = Window.partitionBy("page_url")
-    purl = purl.withColumn(
-        "n_simple",
-        F.count(F.when(F.col("simple"), F.lit(1))).over(w_page),
-    ).withColumn("config_ran", F.col("n_simple") < C.CASCADE_EARLY_EXIT)
-
-    # the simple/config/config_ran flags travel with each product row so
-    # per-page parser stats (A1) are derivable later from the stored
-    # mentions alone — no second cascade pass
-    page_products = (
-        purl.where(F.col("simple") | (F.col("config") & F.col("config_ran")))
+        .withColumn("config_ran", F.size("simple_arr") < C.CASCADE_EARLY_EXIT)
         .withColumn(
-            "parser",
-            F.when(F.col("simple"), F.lit("simple")).otherwise(F.lit("config")),
+            "config_only",
+            F.when(
+                F.col("config_ran"),
+                F.array_except("config_arr", "simple_arr"),
+            ).otherwise(F.array().cast("array<string>")),
         )
         .withColumn(
-            "parser_rank",
-            F.when(F.col("simple"), F.lit(PARSER_RANK["simple"])).otherwise(
-                F.lit(PARSER_RANK["config"])
+            "products_sorted",
+            F.array_sort(F.concat("simple_arr", "config_only")),
+        )
+        .withColumn("seq_arr", _seq_generated(F.col("products_sorted")))
+    )
+
+    def tagged(arr: str, parser: str) -> Column:
+        return F.transform(
+            F.col(arr),
+            lambda u: F.struct(
+                u.alias("url"),
+                F.lit(parser).alias("parser"),
+                F.lit(PARSER_RANK[parser]).alias("parser_rank"),
             ),
         )
-        .select(
-            "page_url",
-            "host",
-            "domain",
-            "depth",
-            "queue_pos",
-            F.col("product_url").alias("url"),
-            "parser",
-            "parser_rank",
-            "simple",
-            "config",
-            "config_ran",
-        )
-    )
-    return page_products
 
+    mentions = enriched.select(
+        *PAGE_COLS,
+        F.explode(
+            F.concat(
+                tagged("simple_arr", "simple"),
+                tagged("config_only", "config"),
+                tagged("seq_arr", "sequential"),
+            )
+        ).alias("m"),
+    ).select(*PAGE_COLS, "m.url", "m.parser", "m.parser_rank")
 
-def page_stats_from_mentions(mentions: DataFrame) -> DataFrame:
-    """A1 inputs recovered from the stored mentions table (one row per
-    page-level product/sequential mention with cascade flags)."""
-    return mentions.groupBy("page_url", "host", "domain", "depth", "queue_pos").agg(
-        F.count(F.when(F.col("simple"), F.lit(1))).alias("simple_found"),
-        F.count(
-            F.when(F.col("config") & F.col("config_ran"), F.lit(1))
-        ).alias("config_found"),
-        F.count(F.when(F.col("parser") == "sequential", F.lit(1))).alias("seq_found"),
+    page_stats = enriched.select(
+        *PAGE_COLS,
+        F.size("simple_arr").alias("simple_found"),
+        F.when(F.col("config_ran"), F.size("config_arr"))
+        .otherwise(F.lit(0))
+        .alias("config_found"),
+        F.size("seq_arr").alias("seq_found"),
+    ).where(
+        (F.col("simple_found") > 0)
+        | (F.col("config_found") > 0)
+        | (F.col("seq_found") > 0)
     )
+    return mentions, page_stats

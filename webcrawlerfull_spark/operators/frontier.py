@@ -18,9 +18,9 @@ Reproduces the reference's per-depth queue build
    queue exceeds the cap (tasks.py:529 — otherwise discovery order is
    kept and priority is ignored)
 
-discovery_seq encoding: queue_pos * 2^20 | (pagination ? 0 : 2^19) |
-span offset — a single sortable key for (page order, pagination-first,
-document order).
+discovery_seq encoding: src_queue_pos * 2^20 + index within the page's
+canonical find_urls order (pagination first, then document order) — a
+single sortable key for (page order, pagination-first, document order).
 """
 
 from __future__ import annotations
@@ -32,46 +32,58 @@ from webcrawlerfull_spark import config as C
 from webcrawlerfull_spark.functions import predicates as P
 from webcrawlerfull_spark.operators import bloom
 
-_PAGE_SHIFT = 1 << 20
-_NONPAG_BIT = 1 << 19
+_PAGE_SHIFT = 1 << 20   # discovery_seq = src_queue_pos * 2^20 + in-page index
 BATCH_SIZE = 10  # tasks.py:433
 
 
 def discovered_links(pages: DataFrame, max_depth: int) -> DataFrame:
     """Internal anchors of fetched pages that are below the link-discovery
-    depth limit (find_urls is skipped at the last depth, tasks.py:641)."""
+    depth limit (find_urls is skipped at the last depth, tasks.py:641).
+
+    The per-page part of find_urls (internal filter, pagination-first
+    ordering, within-page first-occurrence dedup, tasks.py:100-106) is
+    computed SHUFFLE-FREE as array expressions — array_distinct and
+    array_except both keep first-occurrence order, which is exactly the
+    canonical find_urls order. Only the exploded slim rows
+    (url, host, domain, depth, seq) ever shuffle."""
+    eligible = pages.where(
+        (F.col("status") == "ok") & (F.col("depth") < F.lit(max_depth - 1))
+    )
+    spans = F.col("spans")
+    pag = F.array_distinct(
+        F.transform(
+            F.filter(spans, lambda s: s["kind"] == "pagination"),
+            lambda s: s["media_ref"],
+        )
+    )
+    internal_links = F.array_distinct(
+        F.transform(
+            F.filter(
+                spans,
+                lambda s: (s["kind"] == "link")
+                & (F.parse_url(s["media_ref"], F.lit("AUTHORITY")) == F.col("host")),
+            ),
+            lambda s: s["media_ref"],
+        )
+    )
+    ordered = F.concat(pag, F.array_except(internal_links, pag))
     return (
-        pages.where(
-            (F.col("status") == "ok") & (F.col("depth") < F.lit(max_depth - 1))
-        )
-        .select(
-            F.col("url").alias("page_url"),
-            "host",
-            "domain",
-            "depth",
-            "queue_pos",
-            F.explode("spans").alias("span"),
-        )
-        .where(
-            (F.col("span.kind") == "pagination")
-            | (
-                (F.col("span.kind") == "link")
-                & (P.url_authority(F.col("span.media_ref")) == F.col("host"))
-            )
-        )
-        .select(
+        eligible.select(
             "host",
             "domain",
             F.col("depth").alias("src_depth"),
             F.col("queue_pos").alias("src_queue_pos"),
-            F.col("span.media_ref").alias("url"),
-            (
-                F.col("queue_pos") * F.lit(_PAGE_SHIFT)
-                + F.when(F.col("span.kind") == "pagination", F.lit(0)).otherwise(
-                    F.lit(_NONPAG_BIT)
-                )
-                + F.col("span.offset")
-            ).alias("discovery_seq"),
+            F.posexplode(ordered).alias("pos", "url"),
+        )
+        .select(
+            "host",
+            "domain",
+            "src_depth",
+            "src_queue_pos",
+            "url",
+            (F.col("src_queue_pos") * F.lit(_PAGE_SHIFT) + F.col("pos")).alias(
+                "discovery_seq"
+            ),
         )
     )
 

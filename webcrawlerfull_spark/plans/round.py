@@ -26,7 +26,6 @@ from webcrawlerfull_spark import config as C
 from webcrawlerfull_spark.operators import bloom
 from webcrawlerfull_spark.operators import cascade as casc
 from webcrawlerfull_spark.operators import frontier as fr
-from webcrawlerfull_spark.operators import seqgen
 from webcrawlerfull_spark.operators.parse_spans import fetch_and_parse
 from webcrawlerfull_spark.synthgen import World
 
@@ -35,7 +34,8 @@ from webcrawlerfull_spark.synthgen import World
 class RoundOutput:
     scheduled: DataFrame      # (url, …, queue_pos) — becomes the seen delta
     pages: DataFrame          # PARSED_PAGE + queue_pos
-    mentions: DataFrame       # one row per product/seq mention + cascade flags
+    mentions: DataFrame       # one row per product/seq mention (cascade order)
+    page_stats: DataFrame     # per-page parser found-counts (A1 inputs)
     next_frontier: DataFrame
 
 
@@ -108,28 +108,10 @@ def run_round(
     to_fetch = scheduled.repartition(cfg.shuffle_partitions, F.xxhash64("url"))
     pages = fetch_and_parse(to_fetch, world, extra_cols=["queue_pos"])
 
-    page_products = casc.run_cascade(pages)
-
-    seq = seqgen.generate_sequential_urls(
-        page_products.select("page_url", "host", "domain", "depth", "queue_pos", "url"),
-        page_key="page_url",
-        url_col="url",
-        carry_cols=["host", "domain", "depth", "queue_pos"],
-    ).withColumn("parser", F.lit("sequential")).withColumn(
-        "parser_rank", F.lit(casc.PARSER_RANK["sequential"])
-    ).withColumn("simple", F.lit(False)).withColumn(
-        "config", F.lit(False)
-    ).withColumn("config_ran", F.lit(False))
-
-    cols = [
-        "url", "page_url", "host", "domain", "depth", "queue_pos",
-        "parser", "parser_rank", "simple", "config", "config_ran",
-    ]
-    mentions = (
-        page_products.select(*cols)
-        .unionByName(seq.select(*cols))
-        .withColumn("round", F.lit(round_id))
-    )
+    # one narrow pass: cascade + sequential generation + per-page stats,
+    # all as array expressions over the spans column (no shuffle)
+    mentions, page_stats = casc.run_cascade(pages)
+    mentions = mentions.withColumn("round", F.lit(round_id))
 
     next_frontier = fr.build_next_frontier(
         pages, scheduled, seen, cfg.max_depth, round_id, cfg.frontier_cap,
@@ -142,6 +124,7 @@ def run_round(
         scheduled=scheduled,
         pages=pages,
         mentions=mentions,
+        page_stats=page_stats,
         next_frontier=next_frontier,
     )
 

@@ -30,7 +30,6 @@ from webcrawlerfull_spark import schemas
 from webcrawlerfull_spark.config import CrawlConfig
 from webcrawlerfull_spark.operators.bloom import update_filters
 from webcrawlerfull_spark.operators.attribution import first_touch
-from webcrawlerfull_spark.operators.cascade import page_stats_from_mentions
 from webcrawlerfull_spark.operators.frontier import seed_frontier
 from webcrawlerfull_spark.plans.round import run_round
 from webcrawlerfull_spark.sources.catalog import Catalog
@@ -123,20 +122,15 @@ def crawl(
             )
             catalog.write_round(new_filters, "seen_bloom", round_id)
         catalog.write_round(out.mentions, "mentions", round_id)
-
-        # everything downstream (page stats, attribution) derives from the
-        # stored mentions parquet — the cascade plan runs exactly once
-        mentions_stored = catalog.read_round("mentions", round_id)
         catalog.write_round(
-            page_stats_from_mentions(mentions_stored).withColumn(
-                "round", F.lit(round_id)
-            ),
+            out.page_stats.withColumn("round", F.lit(round_id)),
             "page_stats",
             round_id,
         )
 
-        # incremental first-touch attribution: within-round first mention,
-        # minus urls already attributed in earlier rounds (J7)
+        # attribution reads the stored mentions parquet back — the cascade
+        # plan runs exactly once per round (J7)
+        mentions_stored = catalog.read_round("mentions", round_id)
         prior = catalog.read_all("products", up_to_round=round_id - 1)
         new_products = first_touch(mentions_stored, ["queue_pos", "parser_rank"])
         if prior is not None:

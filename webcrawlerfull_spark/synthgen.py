@@ -41,6 +41,15 @@ def _rng(*parts) -> random.Random:
     return random.Random(_digest(*parts))
 
 
+_WORDS = (
+    "lorem ipsum dolor commerce retail quality premium classic modern durable "
+    "lightweight portable wireless ergonomic stylish affordable luxury compact "
+    "versatile reliable innovative sustainable organic handmade vintage sleek "
+    "robust elegant practical efficient seamless intuitive powerful advanced "
+    "professional essential exclusive limited edition signature deluxe ultra "
+    "warranty shipping delivery returns support reviews ratings bestseller"
+).split()
+
 # flavor -> (name template, product path builder)
 _FLAVORS = [
     ("store", lambda k: f"/p/{k}"),                          # default patterns; seq /(\d+)(?:/|$)
@@ -200,6 +209,9 @@ class World:
 
     # ---- HTML rendering ------------------------------------------------------
     def render(self, url: str) -> str:
+        """Pages carry realistic text weight (a few KB of prose per page,
+        like real product/category HTML) so that fetch+parse benchmarks
+        measure parse throughput, not scheduler latency."""
         c = self._classify(url)
         if c is None:
             raise ValueError(f"URL outside world: {url}")
@@ -214,6 +226,10 @@ class World:
         def a(href, text):
             parts.append(f'<a href="{href}">{text}</a>')
 
+        def para(n_words: int):
+            words = " ".join(g.choice(_WORDS) for _ in range(n_words))
+            parts.append(f"<p>{words}.</p>")
+
         if kind == "home":
             for j in range(params["n_categories"]):
                 a(f"/category/c{j}", f"Category {j}")
@@ -226,6 +242,7 @@ class World:
             parts.append('<img src="/img/banner.png">')
         elif kind == "category":
             cat, page = args
+            para(120)
             start = (cat * params["pag_pages"] + (page - 1)) * params["per_page"]
             for i in range(params["per_page"]):
                 pid = start + i
@@ -233,6 +250,7 @@ class World:
                 if i % 3 == 2:
                     href += "?utm_source=home&ref=cat"  # tracking params
                 a(href, f"Product {pid}")
+                para(35)  # per-product blurb
                 if i % 2 == 0:
                     parts.append(f'<img src="/img/thumb-{pid}.jpg">')
             parts.append(f"<p>Showing page {page} of category {cat}.</p>")
@@ -244,13 +262,18 @@ class World:
         elif kind == "product":
             (pid,) = args
             parts.append(f"<p>Product {pid}: a very nice item, SKU-{pid}.</p>")
+            for _ in range(14):
+                para(110)  # description / specs / reviews / faq prose
             parts.append(f'<img src="/img/product-{pid}-main.jpg">')
             parts.append(f'<img src="/img/product-{pid}-alt.jpg">')
+            parts.append(f'<img src="/img/product-{pid}-360.jpg">')
             cat = (pid // (params["pag_pages"] * params["per_page"])) % params["n_categories"]
             a(f"/category/c{cat}", "Back to category")
             total = params["n_categories"] * params["pag_pages"] * params["per_page"]
-            for rel in ((pid + 1) % total, (pid + 7) % total):
+            for k in (1, 7, 13, 19, 29, 41):
+                rel = (pid + k) % total
                 a(params["product_path"](rel), f"<b>Related</b> item {rel}")
+                para(30)
             a("", "broken anchor")  # empty href: reference skips it (tasks.py:76-77)
             parts.append("<p>Reviews &amp; ratings: ★★★★</p>")
         elif kind == "about":
