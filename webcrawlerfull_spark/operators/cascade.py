@@ -81,38 +81,58 @@ def _pat_idx(u: Column) -> Column:
     return expr
 
 
-def _extract_for(u: Column, page_pat: Column, group: int) -> Column:
-    expr = F.lit(None).cast("string")
-    for i in reversed(range(len(_SEQ_PATTERNS))):
-        expr = F.when(
-            page_pat == i, F.regexp_extract(u, _SEQ_PATTERNS[i], group)
-        ).otherwise(expr)
-    return expr
-
-
 def _seq_generated(products_sorted: Column) -> Column:
     """G1 as array expressions: sample = first 10 sorted; page pattern =
     min matched index over the sample; generate n±1..3 (decrement only
     when positive — exactly the reference's num > i guard); exclude the
-    page's own products; sorted 30-cap."""
-    sample = F.slice(products_sorted, 1, C.SEQGEN_SAMPLE)
-    page_pat = F.array_min(F.transform(sample, _pat_idx))
-    matched = F.filter(sample, lambda u: _pat_idx(u) == page_pat)
+    page's own products; sorted 30-cap.
 
-    def gen_for_url(u: Column) -> Column:
-        g0 = _extract_for(u, page_pat, 0)
-        g1 = _extract_for(u, page_pat, 1)
-        num = g1.cast("long")
+    Expression-size note: the per-URL pattern metadata (pat, g0, g1) is
+    computed ONCE into struct arrays and referenced by FIELD afterwards.
+    Writing it "naturally" (every use re-deriving page_pat → sample →
+    products) inlines the whole subtree at each reference after Catalyst
+    project-collapse — the tree grows combinatorially and the optimizer
+    alone took ~40s/plan at bench scale."""
+    sample = F.slice(products_sorted, 1, C.SEQGEN_SAMPLE)
+    metas = F.transform(
+        sample, lambda u: F.struct(u.alias("url"), _pat_idx(u).alias("pat"))
+    )
+
+    def with_groups(m: Column) -> Column:
+        g0 = F.lit(None).cast("string")
+        g1 = F.lit(None).cast("string")
+        for i in reversed(range(len(_SEQ_PATTERNS))):
+            g0 = F.when(
+                m["pat"] == i, F.regexp_extract(m["url"], _SEQ_PATTERNS[i], 0)
+            ).otherwise(g0)
+            g1 = F.when(
+                m["pat"] == i, F.regexp_extract(m["url"], _SEQ_PATTERNS[i], 1)
+            ).otherwise(g1)
+        return F.struct(
+            m["url"].alias("url"),
+            m["pat"].alias("pat"),
+            g0.alias("g0"),
+            g1.alias("g1"),
+        )
+
+    metas = F.transform(metas, with_groups)
+    page_pat = F.array_min(F.transform(metas, lambda m: m["pat"]))
+    matched = F.filter(metas, lambda m: m["pat"] == page_pat)
+
+    def gen_for(m: Column) -> Column:
+        num = m["g1"].cast("long")
         deltas = F.filter(
             F.array(num + 1, num + 2, num + 3, num - 1, num - 2, num - 3),
             lambda d: d > 0,
         )
         return F.transform(
             deltas,
-            lambda d: F.replace(u, g0, F.replace(g0, g1, d.cast("string"))),
+            lambda d: F.replace(
+                m["url"], m["g0"], F.replace(m["g0"], m["g1"], d.cast("string"))
+            ),
         )
 
-    generated = F.array_distinct(F.flatten(F.transform(matched, gen_for_url)))
+    generated = F.array_distinct(F.flatten(F.transform(matched, gen_for)))
     fresh = F.array_sort(F.array_except(generated, products_sorted))
     return F.when(
         (F.size(products_sorted) >= C.SEQGEN_MIN_PRODUCTS) & (page_pat != _NO_PATTERN),
@@ -120,9 +140,11 @@ def _seq_generated(products_sorted: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """pages: PARSED_PAGE(+queue_pos). Returns (mentions, page_stats) —
-    mentions in cascade order (parser_rank) per page."""
+def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """pages: PARSED_PAGE(+queue_pos). Returns (mentions, page_stats,
+    page_arrays) — mentions in cascade order (parser_rank) per page;
+    page_arrays is the shared per-page base both derive from (callers
+    persist it so the cascade executes once per round)."""
     urls = _link_urls(F.col("spans"))
     key = P.config_key(P.url_authority(F.col("url")))
 
@@ -185,4 +207,4 @@ def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         | (F.col("config_found") > 0)
         | (F.col("seq_found") > 0)
     )
-    return mentions, page_stats
+    return mentions, page_stats, enriched

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StructType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from webcrawlerfull_spark import config as C
 from webcrawlerfull_spark import schemas
@@ -49,16 +49,25 @@ def _classify_anchor(text: str, href: str) -> bool:
     return any(r.search(href or "") for r in _PAG_RES)
 
 
-def spans_of(html: str, base_url: str, domain_netloc: str) -> list[dict]:
-    """One document → its spans list (engine implementation)."""
-    out: list[dict] = []
-    n = 0
+def spans_columns(
+    html: str, base_url: str, domain_netloc: str
+) -> tuple[list, list, list]:
+    """One document → three parallel primitive lists (kind, text,
+    media_ref) in document order. The columnar shape exists because
+    primitive string lists cross the Arrow boundary ~an order of
+    magnitude faster than list-of-dict structs; the struct zip + offset
+    numbering happen JVM-side (fetch_and_parse)."""
+    kinds: list = []
+    texts: list = []
+    refs: list = []
     for ev in tokenize(html):
         if ev[0] == "text":
             chunk = ev[1].strip()
             if not chunk:
                 continue
-            out.append({"kind": "text", "text": chunk, "media_ref": None, "offset": n})
+            kinds.append("text")
+            texts.append(chunk)
+            refs.append(None)
         elif ev[0] == "anchor":
             href, text = ev[1], ev[2]
             if not href:
@@ -66,25 +75,25 @@ def spans_of(html: str, base_url: str, domain_netloc: str) -> list[dict]:
             full = urljoin(base_url, href)
             netloc = urlparse(full).netloc
             internal = (not netloc) or netloc == domain_netloc
-            kind = (
-                "pagination"
-                if internal and _classify_anchor(text, href)
-                else "link"
+            kinds.append(
+                "pagination" if internal and _classify_anchor(text, href) else "link"
             )
-            out.append(
-                {"kind": kind, "text": text.strip(), "media_ref": full, "offset": n}
-            )
+            texts.append(text.strip())
+            refs.append(full)
         else:  # media
-            out.append(
-                {
-                    "kind": "media",
-                    "text": None,
-                    "media_ref": urljoin(base_url, ev[1]),
-                    "offset": n,
-                }
-            )
-        n += 1
-    return out
+            kinds.append("media")
+            texts.append(None)
+            refs.append(urljoin(base_url, ev[1]))
+    return kinds, texts, refs
+
+
+def spans_of(html: str, base_url: str, domain_netloc: str) -> list[dict]:
+    """One document → its spans list (engine implementation)."""
+    kinds, texts, refs = spans_columns(html, base_url, domain_netloc)
+    return [
+        {"kind": k, "text": t, "media_ref": r, "offset": i}
+        for i, (k, t, r) in enumerate(zip(kinds, texts, refs))
+    ]
 
 
 @pandas_udf(ArrayType(schemas.SPAN))
@@ -120,31 +129,64 @@ def fetch_and_parse(
     extra_cols = extra_cols or []
     cols = ["url", "host", "domain", "depth", "priority", "discovery_seq"] + extra_cols
     inp = frontier.select(*cols)
-    out_cols = cols + ["status", "doc_id", "spans"]
-    out_schema = StructType(
+    raw_cols = cols + ["status", "doc_id", "_kinds", "_texts", "_refs"]
+    raw_schema = StructType(
         [inp.schema[c] for c in cols]
-        + [f for f in schemas.PARSED_PAGE.fields if f.name in ("status", "doc_id", "spans")]
+        + [
+            StructField("status", StringType()),
+            StructField("doc_id", StringType()),
+            StructField("_kinds", ArrayType(StringType())),
+            StructField("_texts", ArrayType(StringType())),
+            StructField("_refs", ArrayType(StringType())),
+        ]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            spans_col: list[Optional[list]] = []
+            kinds_c: list[Optional[list]] = []
+            texts_c: list[Optional[list]] = []
+            refs_c: list[Optional[list]] = []
             status: list[str] = []
             for url, host in zip(pdf["url"], pdf["host"]):
                 html = world.fetch(url)
                 if html is None:
                     status.append("failed")
-                    spans_col.append(None)
+                    kinds_c.append(None)
+                    texts_c.append(None)
+                    refs_c.append(None)
                 else:
                     status.append("ok")
-                    spans_col.append(spans_of(html, url, host))
+                    k, t, r = spans_columns(html, url, host)
+                    kinds_c.append(k)
+                    texts_c.append(t)
+                    refs_c.append(r)
             out = pdf.copy()
             out["status"] = status
             out["doc_id"] = pdf["url"]
-            out["spans"] = spans_col
-            yield out[out_cols]
+            out["_kinds"] = kinds_c
+            out["_texts"] = texts_c
+            out["_refs"] = refs_c
+            yield out[raw_cols]
 
-    return inp.mapInPandas(gen, schema=out_schema)
+    raw = inp.mapInPandas(gen, schema=raw_schema)
+    # struct zip + dense offsets, JVM-side (cheap; keeps the Arrow transfer
+    # to primitive lists)
+    zipped = F.zip_with(
+        F.arrays_zip(F.col("_kinds"), F.col("_texts"), F.col("_refs")),
+        F.sequence(F.lit(0), F.size("_kinds") - 1),
+        lambda z, i: F.struct(
+            z["_kinds"].alias("kind"),
+            z["_texts"].alias("text"),
+            z["_refs"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    spans = F.when(
+        (F.col("status") == "ok") & (F.size("_kinds") > 0), zipped
+    ).otherwise(
+        F.when(F.col("status") == "ok", F.array().cast(ArrayType(schemas.SPAN)))
+    )
+    return raw.withColumn("spans", spans).drop("_kinds", "_texts", "_refs")
 
 
 # ---- native views over the spans table (zero Python from here on) --------

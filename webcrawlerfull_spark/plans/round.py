@@ -36,6 +36,7 @@ class RoundOutput:
     pages: DataFrame          # PARSED_PAGE + queue_pos
     mentions: DataFrame       # one row per product/seq mention (cascade order)
     page_stats: DataFrame     # per-page parser found-counts (A1 inputs)
+    page_arrays: DataFrame    # shared cascade base (persist for the round)
     next_frontier: DataFrame
 
 
@@ -110,7 +111,7 @@ def run_round(
 
     # one narrow pass: cascade + sequential generation + per-page stats,
     # all as array expressions over the spans column (no shuffle)
-    mentions, page_stats = casc.run_cascade(pages)
+    mentions, page_stats, page_arrays = casc.run_cascade(pages)
     mentions = mentions.withColumn("round", F.lit(round_id))
 
     next_frontier = fr.build_next_frontier(
@@ -125,6 +126,7 @@ def run_round(
         pages=pages,
         mentions=mentions,
         page_stats=page_stats,
+        page_arrays=page_arrays,
         next_frontier=next_frontier,
     )
 

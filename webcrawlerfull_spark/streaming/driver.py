@@ -103,7 +103,7 @@ def crawl(
         )
         out.scheduled.persist()
         out.pages.persist()
-        out.mentions.persist()
+        out.page_arrays.persist()
 
         # seen delta FIRST (mark-before-fetch, tasks.py:438-440: even if the
         # rest of the round is re-run, these URLs are never re-scheduled —
@@ -179,7 +179,7 @@ def crawl(
 
         out.scheduled.unpersist()
         out.pages.unpersist()
-        out.mentions.unpersist()
+        out.page_arrays.unpersist()
         round_id += 1
         rounds_run += 1
         if fetched == 0:
