@@ -584,6 +584,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM corpus GROUP BY 1
         """,
+
+        "events_sessionize": """
+            WITH ev AS (
+              SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+              FROM events),
+            marked AS (
+              SELECT *,
+                     CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+                               IS NULL
+                          OR ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) > 600
+                          THEN 1 ELSE 0 END AS new_session
+              FROM ev),
+            sess AS (
+              SELECT *, SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts_s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+              FROM marked)
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no, MIN(ts_s) AS session_start,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, session_no
+        """,
+        "tpch_top_orders": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 20
+        """,
         **_extra_oracles(),
     }
 
@@ -709,6 +741,55 @@ def _q_simplify_domain(spark, sf_dir):
     )
 
 
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (10-min inactivity) — the stateful-stream
+    analogue expressed as lag + running sum windows."""
+    from pyspark.sql import Window
+
+    _register(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    # total order (ts_s, event_id) + explicit ROWS frame: second-truncated
+    # timestamps can collide, and RANGE vs ROWS would diverge on ties
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 600), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = marked.withColumn(
+        "session_no", F.sum("new_session").over(w_run)
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.min("ts_s").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _q_tpch_top_orders(spark, sf_dir):
+    """Join-path analytics: revenue per order for one market segment
+    (broadcastable dims, partial aggregation, top-k)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 20
+        """
+    )
+
+
 def _lang_hits_sql(words: str) -> str:
     return (
         "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
@@ -804,6 +885,8 @@ def _extra_queries():
         "media_feature_extract": _q_media_features,
         "media_frame_sample": _q_frame_sample,
         "s12_simplify_domain": _q_simplify_domain,
+        "events_sessionize": _q_events_sessionize,
+        "tpch_top_orders": _q_tpch_top_orders,
     }
 
 

@@ -111,6 +111,8 @@ def test_streaming_micro_batch_events(spark, sf_dir):
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(ev_path)
+        # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     bucket = (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("long")
     agg = (

@@ -38,14 +38,12 @@ _SEQ_PATTERNS = C.SEQUENTIAL_NUMBER_PATTERNS
 _NO_PATTERN = len(_SEQ_PATTERNS)  # sentinel: url matches no numeric pattern
 
 
-def _link_urls(spans: Column) -> Column:
+def _link_urls(link_spans: Column) -> Column:
     """All anchor URLs of the page in document order (the reference
     matches product patterns on every anchor, internal or not —
-    _pattern_parser.py:31-36)."""
-    return F.transform(
-        F.filter(spans, lambda s: s["kind"].isin("link", "pagination")),
-        lambda s: s["media_ref"],
-    )
+    _pattern_parser.py:31-36). Consumes the slim ``link_spans`` column so
+    parquet never decodes the prose text spans here."""
+    return F.transform(link_spans, lambda s: s["media_ref"])
 
 
 def _matched_products(urls: Column, pattern: str) -> Column:
@@ -145,7 +143,7 @@ def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     page_arrays) — mentions in cascade order (parser_rank) per page;
     page_arrays is the shared per-page base both derive from (callers
     persist it so the cascade executes once per round)."""
-    urls = _link_urls(F.col("spans"))
+    urls = _link_urls(F.col("link_spans"))
     key = P.config_key(P.url_authority(F.col("url")))
 
     enriched = (

@@ -49,7 +49,7 @@ def discovered_links(pages: DataFrame, max_depth: int) -> DataFrame:
     eligible = pages.where(
         (F.col("status") == "ok") & (F.col("depth") < F.lit(max_depth - 1))
     )
-    spans = F.col("spans")
+    spans = F.col("link_spans")  # slim column: prose text never decoded
     pag = F.array_distinct(
         F.transform(
             F.filter(spans, lambda s: s["kind"] == "pagination"),

@@ -186,7 +186,18 @@ def fetch_and_parse(
     ).otherwise(
         F.when(F.col("status") == "ok", F.array().cast(ArrayType(schemas.SPAN)))
     )
-    return raw.withColumn("spans", spans).drop("_kinds", "_texts", "_refs")
+    with_spans = raw.withColumn("spans", spans).drop("_kinds", "_texts", "_refs")
+    link_spans = F.transform(
+        F.filter(
+            F.col("spans"), lambda s: s["kind"].isin("link", "pagination")
+        ),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return with_spans.withColumn("link_spans", link_spans)
 
 
 # ---- native views over the spans table (zero Python from here on) --------

@@ -119,7 +119,7 @@ def run_round(
         seen_filters=seen_filters, cfg=cfg,
     )
     if cfg.politeness_budget is not None:
-        next_frontier = _merge_deferred(next_frontier, deferred, seen)
+        next_frontier = merge_deferred(next_frontier, deferred, seen)
 
     return RoundOutput(
         scheduled=scheduled,
@@ -131,7 +131,7 @@ def run_round(
     )
 
 
-def _merge_deferred(
+def merge_deferred(
     next_frontier: DataFrame, deferred: DataFrame, seen: DataFrame
 ) -> DataFrame:
     """Scale mode: deferred frontier rows carry over; new discoveries that

@@ -31,6 +31,17 @@ SPAN = StructType(
     ]
 )
 
+# slim anchor projection stored alongside spans in the documents table:
+# crawl consumers (cascade, frontier) read ONLY this column, so parquet
+# column pruning skips decoding the prose text spans entirely
+LINK_SPAN = StructType(
+    [
+        StructField("kind", StringType()),       # link | pagination
+        StructField("media_ref", StringType()),  # absolute URL
+        StructField("offset", IntegerType()),    # original span offset
+    ]
+)
+
 DOCUMENTS = StructType(
     [
         StructField("doc_id", StringType()),

@@ -32,7 +32,7 @@ from pyspark.sql.types import StructType
 
 
 class Catalog:
-    TABLES = ("frontier", "seen", "products", "lineage", "mentions", "page_stats", "seen_bloom")
+    TABLES = ("frontier", "seen", "scheduled", "documents", "products", "lineage", "mentions", "page_stats", "seen_bloom")
 
     def __init__(self, spark: SparkSession, base: str):
         self.spark = spark

@@ -28,10 +28,16 @@ from pyspark.sql import functions as F
 
 from webcrawlerfull_spark import schemas
 from webcrawlerfull_spark.config import CrawlConfig
-from webcrawlerfull_spark.operators.bloom import update_filters
+from webcrawlerfull_spark.operators.bloom import seen_anti_join, update_filters
 from webcrawlerfull_spark.operators.attribution import first_touch
-from webcrawlerfull_spark.operators.frontier import seed_frontier
-from webcrawlerfull_spark.plans.round import run_round
+from webcrawlerfull_spark.operators.cascade import run_cascade
+from webcrawlerfull_spark.operators.frontier import build_next_frontier, seed_frontier
+from webcrawlerfull_spark.operators.parse_spans import fetch_and_parse
+from webcrawlerfull_spark.plans.round import (
+    apply_robots,
+    merge_deferred,
+    politeness_schedule,
+)
 from webcrawlerfull_spark.sources.catalog import Catalog
 from webcrawlerfull_spark.synthgen import World
 
@@ -97,19 +103,22 @@ def crawl(
             seen_filters = catalog.read_round("seen_bloom", round_id - 1)
 
         t0 = time.monotonic()
-        out = run_round(
-            frontier, seen, world, cfg, round_id, robots=robots,
-            seen_filters=seen_filters,
+        # ---- stage 1: schedule (politeness + robots + J1 seen anti-join) ---
+        gated = apply_robots(frontier, robots)
+        scheduled_raw, _deferred = politeness_schedule(
+            gated, cfg.politeness_budget, cfg.salt_partitions
         )
-        out.scheduled.persist()
-        out.pages.persist()
-        out.page_arrays.persist()
-
-        # seen delta FIRST (mark-before-fetch, tasks.py:438-440: even if the
-        # rest of the round is re-run, these URLs are never re-scheduled —
-        # but NOT committed until lineage lands, so a crash here is safe)
+        scheduled_raw = seen_anti_join(
+            scheduled_raw, seen, seen_filters, cfg.bloom_buckets,
+            cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
+        )
+        # scheduled table FIRST (mark-before-fetch, tasks.py:438-440); the
+        # seen table is its url projection. Not committed until lineage
+        # lands, so a crash mid-round is safe.
+        catalog.write_round(scheduled_raw, "scheduled", round_id)
+        scheduled = catalog.read_round("scheduled", round_id)
         catalog.write_round(
-            out.scheduled.select("url").withColumn("round", F.lit(round_id)),
+            scheduled.select("url").withColumn("round", F.lit(round_id)),
             "seen",
             round_id,
         )
@@ -117,13 +126,30 @@ def crawl(
             # full filter state per round (simple + resume-friendly; an
             # Iceberg MERGE would rewrite only touched buckets)
             new_filters = update_filters(
-                out.scheduled.select("url"), seen_filters, cfg.bloom_buckets,
+                scheduled.select("url"), seen_filters, cfg.bloom_buckets,
                 cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
             )
             catalog.write_round(new_filters, "seen_bloom", round_id)
-        catalog.write_round(out.mentions, "mentions", round_id)
+
+        # ---- stage 2: fetch+parse ONCE -> the durable interleaved-docs
+        # table (the input_hint payload). Every downstream consumer reads
+        # the stored parquet — no giant in-memory cache of span structs,
+        # no re-fetch.
+        to_fetch = scheduled.repartition(
+            cfg.shuffle_partitions, F.xxhash64("url")
+        )
+        pages = fetch_and_parse(to_fetch, world, extra_cols=["queue_pos"])
+        catalog.write_round(pages, "documents", round_id)
+        docs = catalog.read_round("documents", round_id)
+
+        # ---- stage 3: cascade + seqgen + stats (narrow array exprs) -------
+        mentions, page_stats, page_arrays = run_cascade(docs)
+        page_arrays.persist()
         catalog.write_round(
-            out.page_stats.withColumn("round", F.lit(round_id)),
+            mentions.withColumn("round", F.lit(round_id)), "mentions", round_id
+        )
+        catalog.write_round(
+            page_stats.withColumn("round", F.lit(round_id)),
             "page_stats",
             round_id,
         )
@@ -146,12 +172,20 @@ def crawl(
             F.lit(round_id).alias("round"),
         )
         catalog.write_round(new_products, "products", round_id)
-        catalog.write_round(out.next_frontier, "frontier", round_id + 1)
+
+        # ---- stage 4: next frontier (O2/O3 + J2) ---------------------------
+        next_frontier = build_next_frontier(
+            docs, scheduled, seen, cfg.max_depth, round_id, cfg.frontier_cap,
+            seen_filters=seen_filters, cfg=cfg,
+        )
+        if cfg.politeness_budget is not None:
+            next_frontier = merge_deferred(next_frontier, _deferred, seen)
+        catalog.write_round(next_frontier, "frontier", round_id + 1)
 
         # lineage LAST = the commit marker (A7 metrics, north-rule set).
-        # pages has exactly one row per scheduled URL, so one agg job
+        # documents has exactly one row per scheduled URL, so one agg job
         # yields both fetch and parse counts.
-        counts = out.pages.agg(
+        counts = docs.agg(
             F.count("*").alias("fetched"),
             F.count(F.when(F.col("status") == "ok", F.lit(1))).alias("parsed"),
         ).collect()[0]
@@ -177,9 +211,7 @@ def crawl(
         )
         catalog.write_round(lineage_row, "lineage", round_id)
 
-        out.scheduled.unpersist()
-        out.pages.unpersist()
-        out.page_arrays.unpersist()
+        page_arrays.unpersist()
         round_id += 1
         rounds_run += 1
         if fetched == 0:
