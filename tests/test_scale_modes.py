@@ -107,10 +107,13 @@ def test_streaming_micro_batch_events(spark, sf_dir):
 
     ev_path = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(ev_path)
+    # the streaming file source needs a DIRECTORY; stage the file into one
+    stage_dir = tempfile.mkdtemp()
+    os.symlink(os.path.abspath(ev_path), os.path.join(stage_dir, "events.parquet"))
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(ev_path)
+        .parquet(stage_dir)
         # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
