@@ -98,6 +98,18 @@ def test_robots_gating(spark):
     assert hosts == {"b.example.com"}
 
 
+def test_robots_disallow_all_blocks_bare_seed(spark):
+    """A bare https://host seed has empty path but means '/' — Disallow
+    '/' must block it too (found by runtime probing)."""
+    seed = spark.createDataFrame(
+        [{"url": "https://a.example.com", "host": "a.example.com"}]
+    )
+    robots = spark.createDataFrame(
+        [{"host": "a.example.com", "disallow_prefixes": ["/"]}]
+    )
+    assert apply_robots(seed, robots).count() == 0
+
+
 def test_streaming_micro_batch_events(spark, sf_dir):
     """Structured Streaming analogue: the same tumbling aggregation as the
     batch events_tumbling_agg query, run through readStream+foreachBatch

@@ -22,6 +22,7 @@ def run(cpus: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    env.setdefault("SPARK_DRIVER_MEMORY", "24g")  # local mode: one JVM does everything
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -29,8 +30,11 @@ def run(cpus: int) -> dict:
         text=True,
         timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"bench.py (cpus={cpus}) produced no JSON")
+    return json.loads(lines[-1])
 
 
 def main() -> None:

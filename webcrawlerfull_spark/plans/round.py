@@ -77,7 +77,10 @@ def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     if robots is None:
         return frontier
     joined = frontier.join(F.broadcast(robots), "host", "left")
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+    # a bare "https://host" URL has empty path but means "/" — normalize
+    # so Disallow "/" blocks the seed itself
+    raw_path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     blocked = F.exists(
         F.coalesce(F.col("disallow_prefixes"), F.array()),
         lambda p: path.startswith(p),
