@@ -249,7 +249,7 @@ def _q_first_touch(spark, sf_dir):
         FROM lineitem
         """
     )
-    firsts = first_touch(mentions, ["ord1", "ord2"])
+    firsts = first_touch(mentions, ["ord1", "ord2"], partition_cols=["url"])
     return firsts.groupBy("parser").agg(F.count("*").alias("n_first"))
 
 

@@ -139,10 +139,16 @@ def generate_sequential_urls(product_urls, max_urls: int = C.SEQGEN_MAX_URLS) ->
             num = int(m.group(1))
             for i in range(1, 4):
                 for new_num in ([num + i] + ([num - i] if num > i else [])):
+                    # canonical replace semantics shared by the engine
+                    # (cascade.py F.replace) and the DuckDB g1 oracle:
+                    # take the FIRST match's text and string-replace every
+                    # occurrence of it (the reference's re.sub rewrote each
+                    # match occurrence independently — divergent only for
+                    # URLs matching a numeric pattern more than once, which
+                    # the canonicalization forbids; see FIXTURES.md §5)
                     generated.add(
-                        pattern.sub(
-                            lambda mm: mm.group(0).replace(mm.group(1), str(new_num)),
-                            url,
+                        url.replace(
+                            m.group(0), m.group(0).replace(m.group(1), str(new_num))
                         )
                     )
         if pattern_found:

@@ -98,14 +98,15 @@ def run_round(
     seen_filters: DataFrame | None = None,
 ) -> RoundOutput:
     frontier = apply_robots(frontier, robots)
-    scheduled, deferred = politeness_schedule(
-        frontier, cfg.politeness_budget, cfg.salt_partitions
-    )
     # J1 — no re-fetch of seen URLs (batch filter, tasks.py:436); with a
-    # bloom state only the maybe-seen slice touches the exact seen table
-    scheduled = bloom.seen_anti_join(
-        scheduled, seen, seen_filters, cfg.bloom_buckets,
+    # bloom state only the maybe-seen slice touches the exact seen table.
+    # Runs BEFORE the budget so per-host slots never go to seen URLs.
+    unseen = bloom.seen_anti_join(
+        frontier, seen, seen_filters, cfg.bloom_buckets,
         cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
+    )
+    scheduled, deferred = politeness_schedule(
+        unseen, cfg.politeness_budget, cfg.salt_partitions
     )
 
     # spread the fetch uniformly (url-hash) so a hot host doesn't pin a task

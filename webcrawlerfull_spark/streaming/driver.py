@@ -99,18 +99,33 @@ def crawl(
             break
         seen = catalog.read_all("seen", up_to_round=round_id - 1) or _empty_seen(spark)
         seen_filters = None
-        if cfg.use_bloom and round_id > 0 and catalog.has_round("seen_bloom", round_id - 1):
-            seen_filters = catalog.read_round("seen_bloom", round_id - 1)
+        if cfg.use_bloom and round_id > 0:
+            if catalog.has_round("seen_bloom", round_id - 1):
+                seen_filters = catalog.read_round("seen_bloom", round_id - 1)
+            else:
+                # bloom toggled on mid-run (resume): the cumulative filter
+                # must cover EVERYTHING in the exact seen table, else
+                # earlier-seen URLs probe definitely-new and get re-fetched
+                seen_filters = update_filters(
+                    seen.select("url"), None, cfg.bloom_buckets,
+                    cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
+                )
+                catalog.write_round(seen_filters, "seen_bloom", round_id - 1)
+                seen_filters = catalog.read_round("seen_bloom", round_id - 1)
 
         t0 = time.monotonic()
-        # ---- stage 1: schedule (politeness + robots + J1 seen anti-join) ---
+        # ---- stage 1: schedule (robots + J1 seen anti-join + politeness) ---
+        # seen is filtered BEFORE the per-host budget so budget slots never
+        # go to already-seen URLs (otherwise a frontier whose top-k per host
+        # is all seen fetches nothing while unseen rows sit deferred). In
+        # parity mode (budget None) the order is irrelevant.
         gated = apply_robots(frontier, robots)
-        scheduled_raw, _deferred = politeness_schedule(
-            gated, cfg.politeness_budget, cfg.salt_partitions
-        )
-        scheduled_raw = seen_anti_join(
-            scheduled_raw, seen, seen_filters, cfg.bloom_buckets,
+        unseen = seen_anti_join(
+            gated, seen, seen_filters, cfg.bloom_buckets,
             cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
+        )
+        scheduled_raw, _deferred = politeness_schedule(
+            unseen, cfg.politeness_budget, cfg.salt_partitions
         )
         # scheduled table FIRST (mark-before-fetch, tasks.py:438-440); the
         # seen table is its url projection. Not committed until lineage
@@ -158,10 +173,15 @@ def crawl(
         # plan runs exactly once per round (J7)
         mentions_stored = catalog.read_round("mentions", round_id)
         prior = catalog.read_all("products", up_to_round=round_id - 1)
-        new_products = first_touch(mentions_stored, ["queue_pos", "parser_rank"])
+        # per-domain first touch (reference keeps url_first_found_by per
+        # domain, tasks.py:397) — a URL reachable from two seed domains
+        # keeps one attributed row per domain
+        new_products = first_touch(
+            mentions_stored, ["queue_pos", "parser_rank"], ["domain", "url"]
+        )
         if prior is not None:
             new_products = new_products.join(
-                prior.select("url"), "url", "left_anti"
+                prior.select("domain", "url"), ["domain", "url"], "left_anti"
             )
         new_products = new_products.select(
             F.lit(cfg.task_id).alias("task_id"),
@@ -214,6 +234,9 @@ def crawl(
         page_arrays.unpersist()
         round_id += 1
         rounds_run += 1
+        # fetched == 0 now implies the frontier held no unseen URLs at all
+        # (seen filtering precedes the budget), so nothing is stranded: the
+        # deferred set was empty and the next frontier is discovery-free
         if fetched == 0:
             break
 
