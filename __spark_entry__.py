@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from _entry_crawl_ops import (  # noqa: E402
+    CORPUS_SQL,
+    _TABLES,
+    _register as _register_ops,
+    crawl_ops_oracles,
+    crawl_ops_queries,
+)
 from webcrawlerfull_spark import config as C  # noqa: E402
 from webcrawlerfull_spark.functions import predicates as P  # noqa: E402
 from webcrawlerfull_spark.functions.urlnorm import normalize_url  # noqa: E402
@@ -30,40 +37,8 @@ from webcrawlerfull_spark.operators.attribution import first_touch  # noqa: E402
 from webcrawlerfull_spark.operators.parse_spans import links_view, parse_spans_udf  # noqa: E402
 from webcrawlerfull_spark.plans.round import politeness_schedule  # noqa: E402
 
-# ---------------------------------------------------------------------------
-# shared URL corpus — ONE SQL text, evaluated by both engines
-# ---------------------------------------------------------------------------
-
-CORPUS_SQL = """
-SELECT
-  p_partkey AS seq,
-  'https://www.' ||
-    CASE CAST(p_partkey % 6 AS INT)
-      WHEN 0 THEN 'store' WHEN 1 THEN 'shopify' WHEN 2 THEN 'amazon'
-      WHEN 3 THEN 'woocommerce' WHEN 4 THEN 'magento' ELSE 'bigcommerce'
-    END || CAST(p_partkey % 7 AS INT) || '.example.com' ||
-    CASE CAST(p_partkey % 5 AS INT)
-      WHEN 0 THEN '/product/widget-' || p_partkey
-      WHEN 1 THEN '/category/c' || CAST(p_partkey % 10 AS INT)
-      WHEN 2 THEN '/p/' || p_partkey
-      WHEN 3 THEN '/blog/post-' || p_partkey
-      ELSE '/item-' || p_partkey || '.html'
-    END ||
-    CASE CAST(p_partkey % 4 AS INT)
-      WHEN 0 THEN ''
-      WHEN 1 THEN '?page=' || CAST(p_partkey % 20 AS INT)
-      WHEN 2 THEN '?utm_source=feed&id=' || p_partkey
-      ELSE '?ref=mail&p=' || CAST(p_partkey % 9 AS INT)
-    END ||
-    CASE WHEN p_partkey % 11 = 0 AND p_partkey % 4 = 0 THEN '/' ELSE '' END
-  AS url
-FROM part
-"""
-
-_TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+# shared URL corpus (ONE SQL text, both engines) + the crawl-operator
+# oracle suite live in _entry_crawl_ops; re-exported here for the tools
 
 # regexes shared verbatim by rlike (Java) and regexp_matches (RE2) — the
 # pattern tables use no constructs outside the common subset
@@ -74,11 +49,7 @@ _TRACKING_RE = "|".join(C.TRACKING_PARAM_SUBSTRINGS)
 _DOMAIN_RE = {k: C.combined_regex(v) for k, v in C.DOMAIN_PATTERNS.items()}
 
 
-def _register(spark: SparkSession, sf_dir: str) -> None:
-    for t in _TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(t)
+_register = _register_ops
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,24 +165,17 @@ def _q_category_priority(spark, sf_dir):
 
 
 def _q_frontier_topk(spark, sf_dir, cap=15):
-    from pyspark.sql import Window
+    from webcrawlerfull_spark.operators.frontier import conditional_priority_cap
 
     c = _corpus(spark, sf_dir).select(
-        "seq",
         "url",
         _netloc(F.col("url")).alias("domain"),
         P.category_priority(F.col("url")).alias("priority"),
+        F.col("seq").alias("discovery_seq"),
     )
-    w_cnt = Window.partitionBy("domain")
-    c = c.withColumn("_cnt", F.count("*").over(w_cnt)).withColumn(
-        "_eff",
-        F.when(F.col("_cnt") > cap, F.col("priority")).otherwise(F.lit(0)),
-    )
-    w = Window.partitionBy("domain").orderBy("_eff", "seq")
-    return (
-        c.withColumn("queue_pos", F.row_number().over(w) - 1)
-        .where(F.col("queue_pos") < cap)
-        .select("domain", "url", "queue_pos")
+    capped = conditional_priority_cap(c, cap, salt_partitions=8)
+    return capped.select(
+        "domain", "url", (F.col("_rn") - 1).alias("queue_pos")
     )
 
 
@@ -349,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _q_doc_token_stats,
         "events_tumbling_agg": _q_events_tumbling,
         **_extra_queries(),
+        **crawl_ops_queries(),
     }
 
 
@@ -617,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         **_extra_oracles(),
+        **crawl_ops_oracles(),
     }
 
 

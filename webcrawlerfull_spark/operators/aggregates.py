@@ -20,12 +20,15 @@ def parser_stats(page_stats: DataFrame, products: DataFrame) -> DataFrame:
     seq_found) per page; products: first-touch attributed product table.
     Returns (parser, total, unique, domains) — aggregate_results_locally
     shape (tasks.py:328-358)."""
-    per_parser = []
-    for parser, col in [
+    pairs = [
         ("simple", "simple_found"),
         ("config", "config_found"),
         ("sequential", "seq_found"),
-    ]:
+    ]
+    if "ai_found" in page_stats.columns:
+        pairs.insert(2, ("ai", "ai_found"))
+    per_parser = []
+    for parser, col in pairs:
         per_parser.append(
             page_stats.select(
                 F.lit(parser).alias("parser"),
@@ -33,10 +36,11 @@ def parser_stats(page_stats: DataFrame, products: DataFrame) -> DataFrame:
                 F.when(F.col(col) > 0, F.col("host")).alias("hit_host"),
             )
         )
+    stacked = per_parser[0]
+    for extra in per_parser[1:]:
+        stacked = stacked.unionByName(extra)
     totals = (
-        per_parser[0]
-        .unionByName(per_parser[1])
-        .unionByName(per_parser[2])
+        stacked
         .groupBy("parser")
         .agg(
             F.sum("found").alias("total"),

@@ -138,11 +138,19 @@ def _seq_generated(products_sorted: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def run_cascade(
+    pages: DataFrame, ai_candidates: Column | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """pages: PARSED_PAGE(+queue_pos). Returns (mentions, page_stats,
     page_arrays) — mentions in cascade order (parser_rank) per page;
     page_arrays is the shared per-page base both derive from (callers
-    persist it so the cascade executes once per round)."""
+    persist it so the cascade executes once per round).
+
+    ``ai_candidates``: optional array<string> column expression (over the
+    page row) standing in for the live-LLM parser's output — the AI rank
+    runs iff the cumulative product set after config is still under the
+    early-exit threshold (tasks.py:630-633). None (default) keeps the
+    reference-parity stub behavior: the ai slot contributes nothing."""
     urls = _link_urls(F.col("link_spans"))
     key = P.config_key(P.url_authority(F.col("url")))
 
@@ -156,6 +164,7 @@ def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             "queue_pos",
             _matched_products(urls, P.SIMPLE_COMBINED).alias("simple_arr"),
             _config_products(urls, key).alias("config_arr"),
+            (ai_candidates if ai_candidates is not None else F.array().cast("array<string>")).alias("ai_arr"),
         )
         .withColumn("config_ran", F.size("simple_arr") < C.CASCADE_EARLY_EXIT)
         .withColumn(
@@ -166,8 +175,21 @@ def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             ).otherwise(F.array().cast("array<string>")),
         )
         .withColumn(
+            "ai_ran",
+            (F.size("simple_arr") + F.size("config_only")) < C.CASCADE_EARLY_EXIT,
+        )
+        .withColumn(
+            "ai_only",
+            F.when(
+                F.col("ai_ran"),
+                F.array_except(
+                    F.col("ai_arr"), F.concat("simple_arr", "config_only")
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
             "products_sorted",
-            F.array_sort(F.concat("simple_arr", "config_only")),
+            F.array_sort(F.concat("simple_arr", "config_only", "ai_only")),
         )
         .withColumn("seq_arr", _seq_generated(F.col("products_sorted")))
     )
@@ -188,6 +210,7 @@ def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             F.concat(
                 tagged("simple_arr", "simple"),
                 tagged("config_only", "config"),
+                tagged("ai_only", "ai"),
                 tagged("seq_arr", "sequential"),
             )
         ).alias("m"),
@@ -199,10 +222,12 @@ def run_cascade(pages: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         F.when(F.col("config_ran"), F.size("config_arr"))
         .otherwise(F.lit(0))
         .alias("config_found"),
+        F.when(F.col("ai_ran"), F.size("ai_arr")).otherwise(F.lit(0)).alias("ai_found"),
         F.size("seq_arr").alias("seq_found"),
     ).where(
         (F.col("simple_found") > 0)
         | (F.col("config_found") > 0)
+        | (F.col("ai_found") > 0)
         | (F.col("seq_found") > 0)
     )
     return mentions, page_stats, enriched

@@ -137,17 +137,13 @@ def build_next_frontier(
         .drop("sched_batch", "disc_batch")
     )
 
-    # category-priority + conditional 500-cap (per domain)
+    # category-priority + conditional 500-cap (per domain), hot-domain-safe
     links = links.withColumn("priority", P.category_priority(F.col("url")))
-    w_cnt = Window.partitionBy("domain")
-    links = links.withColumn("_cnt", F.count("*").over(w_cnt)).withColumn(
-        "_eff_priority",
-        F.when(F.col("_cnt") > frontier_cap, F.col("priority")).otherwise(F.lit(0)),
+    capped = conditional_priority_cap(
+        links, frontier_cap, salt_partitions=(cfg.salt_partitions if cfg else 16)
     )
-    w_rank = Window.partitionBy("domain").orderBy("_eff_priority", "discovery_seq")
     return (
-        links.withColumn("_rn", F.row_number().over(w_rank))
-        .where(F.col("_rn") <= frontier_cap)
+        capped
         .select(
             "url",
             "host",
@@ -159,6 +155,46 @@ def build_next_frontier(
             F.lit(round_id + 1).alias("round"),
             (F.col("_rn") - 1).alias("queue_pos"),
         )
+    )
+
+
+def conditional_priority_cap(
+    links: DataFrame, cap: int, salt_partitions: int = 16
+) -> DataFrame:
+    """O3 — the reference's conditional frontier cap (tasks.py:513-529):
+    when a domain's queue exceeds ``cap``, category-priority URLs come
+    first; otherwise pure discovery order. Returns the top-``cap`` rows
+    per domain with ``_rn`` (1-based rank) attached.
+
+    Scale shape: a SALTED TWO-PHASE top-k. The count gate is a groupBy
+    broadcast-joined back (domains are small rows even at 10^6 domains),
+    phase 1 takes the per-(domain, salt) top-``cap`` so a hot domain's
+    tens of millions of pre-cap links sort across ``salt_partitions``
+    tasks, phase 2 ranks the ≤ salt_partitions×cap survivors exactly —
+    identical output to a single per-domain window (any row in the true
+    top-cap is within its salt slice's top-cap), without pinning one task.
+    Requires (url, domain, priority, discovery_seq); discovery_seq is
+    unique per (domain, url) so the order is total and deterministic."""
+    counts = links.groupBy("domain").agg(F.count("*").alias("_cnt"))
+    gated = links.join(F.broadcast(counts), "domain").withColumn(
+        "_eff_priority",
+        F.when(F.col("_cnt") > cap, F.col("priority")).otherwise(F.lit(0)),
+    )
+    salted = gated.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
+    )
+    w1 = Window.partitionBy("domain", "_salt").orderBy(
+        "_eff_priority", "discovery_seq"
+    )
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= cap)
+    )
+    w2 = Window.partitionBy("domain").orderBy("_eff_priority", "discovery_seq")
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= cap)
+        .drop("_cnt", "_eff_priority", "_salt", "_rn1")
     )
 
 
