@@ -640,14 +640,21 @@ _NEAR_DUP_SQL = """
 
 def _q_minhash_pairs(spark, sf_dir):
     corpus = _near_dup_corpus(spark, sf_dir)
-    return TD.minhash_candidate_pairs(corpus, "doc_id", "text", k=12, bands=4)
+    return TD.minhash_candidate_pairs(
+        corpus, "doc_id", "text", k=64, bands=16, pre_dedup=True, max_bucket=500
+    )
 
 
 def _q_simhash(spark, sf_dir):
     _register(spark, sf_dir)
     docs = spark.table("documents")
-    return docs.select(
-        "doc_id", TD.simhash16(F.col("text")).cast("long").alias("simhash")
+    return TD.simhash64_df(docs, "doc_id", "text")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return TD.simhash_hamming_pairs(
+        corpus, "doc_id", "text", max_distance=3, bands=4
     )
 
 
@@ -763,29 +770,76 @@ def _lang_hits_sql(words: str) -> str:
     )
 
 
-def _simhash_sql() -> str:
-    nib = (
-        "(strpos('0123456789abcdef', substring(md5(t), {pos}, 1)) - 1)"
-    )
-    terms = []
-    for b in range(16):
+def _simhash64_votes_sql(bits: int = 64) -> str:
+    """Vote columns v0..v63 over per-token md5 hex (computed once into hs)."""
+    nib = "(strpos('0123456789abcdef', substring(h, {pos}, 1)) - 1)"
+    cols = []
+    for b in range(bits):
         nibble_idx, bit = divmod(b, 4)
         v = nib.format(pos=nibble_idx + 1)
-        vote = (
-            "list_sum(list_transform(toks, t -> CASE WHEN "
-            f"CAST(floor({v} / {2 ** bit}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END))"
+        cols.append(
+            "list_sum(list_transform(hs, h -> CASE WHEN "
+            f"CAST(floor({v} / {2 ** bit}) AS BIGINT) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)) AS v{b}"
         )
-        terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END")
-    total = " + ".join(terms)
+    return ", ".join(cols)
+
+
+def _simhash64_sig_sql(bits: int = 64) -> str:
+    """Hex signature from vote columns: nibble n = bits 4n..4n+3."""
+    chars = []
+    for n in range(bits // 4):
+        val = " + ".join(
+            f"(CASE WHEN v{4 * n + j} > 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(4)
+        )
+        chars.append(f"substring('0123456789abcdef', 1 + ({val}), 1)")
+    return " || ".join(chars)
+
+
+def _simhash64_sql(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
     return f"""
-        WITH tok AS (
-          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-          FROM documents)
-        SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM tok
+        WITH corpus AS ({source_sql}),
+        tok AS (
+          SELECT doc_id,
+                 list_transform(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   t -> md5(t)) AS hs
+          FROM corpus),
+        votes AS (SELECT doc_id, {_simhash64_votes_sql()} FROM tok)
+        SELECT doc_id, {_simhash64_sig_sql()} AS simhash FROM votes
     """
 
 
-def _minhash_sql(k: int = 12, bands: int = 4) -> str:
+def _simhash_pairs_sql(max_distance: int = 3, bands: int = 4) -> str:
+    width = (64 // bands) // 4
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"substring(simhash, {b * width + 1}, {width}) AS band_val FROM sigs"
+        for b in range(bands)
+    )
+    nib_a = "(strpos('0123456789abcdef', substring(sig_a, {pos}, 1)) - 1)"
+    nib_b = "(strpos('0123456789abcdef', substring(sig_b, {pos}, 1)) - 1)"
+    ham = " + ".join(
+        f"bit_count(xor({nib_a.format(pos=n + 1)}, {nib_b.format(pos=n + 1)}))"
+        for n in range(16)
+    )
+    return f"""
+        WITH sigbase AS ({_simhash64_sql(_NEAR_DUP_SQL)}),
+        sigs AS (SELECT doc_id, simhash FROM sigbase),
+        stacked AS ({band_rows}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sig_a, b.simhash AS sig_b
+          FROM stacked a JOIN stacked b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+          WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(({ham}) AS BIGINT) AS hamming
+        FROM cands WHERE ({ham}) <= {max_distance}
+    """
+
+
+def _minhash_sql(k: int = 64, bands: int = 16, max_bucket: int = 500) -> str:
     r = k // bands
     mh = ", ".join(
         f"list_min(list_transform(sh, s -> md5(s || '|{j}'))) AS m{j}"
@@ -800,7 +854,15 @@ def _minhash_sql(k: int = 12, bands: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-        WITH corpus AS ({_NEAR_DUP_SQL}),
+        WITH corpus0 AS ({_NEAR_DUP_SQL}),
+        fps AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+          FROM corpus0),
+        reps AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY 1),
+        corpus AS (
+          SELECT c.* FROM corpus0 c
+          WHERE EXISTS (SELECT 1 FROM reps r WHERE r.doc_id = c.doc_id)),
         tok AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
           FROM corpus),
@@ -813,9 +875,16 @@ def _minhash_sql(k: int = 12, bands: int = 4) -> str:
           FROM tok),
         sigs AS (SELECT doc_id, {mh} FROM sh_t),
         banded AS (SELECT doc_id, {band_exprs} FROM sigs),
-        stacked AS ({band_rows})
+        stacked AS ({band_rows}),
+        bsize AS (
+          SELECT band_id, band_hash, COUNT(*) AS n
+          FROM stacked GROUP BY 1, 2),
+        kept AS (
+          SELECT s.* FROM stacked s JOIN bsize z
+            ON s.band_id = z.band_id AND s.band_hash = z.band_hash
+          WHERE z.n <= {max_bucket})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM stacked a JOIN stacked b
+        FROM kept a JOIN kept b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
         WHERE a.doc_id < b.doc_id
     """
@@ -846,6 +915,7 @@ def _extra_queries():
         "doc_quality_score": _q_quality,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "media_feature_extract": _q_media_features,
@@ -893,7 +963,8 @@ def _extra_oracles():
             FROM base
         """,
         "dedup_minhash_lsh_pairs": _minhash_sql(),
-        "dedup_simhash": _simhash_sql(),
+        "dedup_simhash": _simhash64_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "ann_cosine_topk": f"""
             SELECT vec_id, round({cos}, 4) AS cosine_r
             FROM embeddings

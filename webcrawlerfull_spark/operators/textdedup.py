@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 
 from webcrawlerfull_spark.functions.textstats import fingerprint, tokens
 
-DEFAULT_K = 12       # minhash functions
-DEFAULT_BANDS = 4    # LSH bands (rows per band = K / BANDS)
+DEFAULT_K = 64       # minhash functions (production width; r1 used 12)
+DEFAULT_BANDS = 16   # LSH bands (rows per band = K / BANDS)
+HEXD = "0123456789abcdef"
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -52,15 +53,22 @@ def shingles(text_col, n: int = 3):
 
 
 def minhash_signature(text_col, k: int = DEFAULT_K):
-    """Array of K minhashes (md5-hex-min per salt)."""
+    """Array of K minhashes (md5-hex-min per salt) in ONE aggregate pass:
+    per shingle, build the K salted hashes and fold with elementwise
+    least(). K separate array_min(transform(...)) passes each materialize
+    a full intermediate array — at K=64 that allocation dominated the
+    stage (~30x slower than this fold). 'g' sorts above every hex char,
+    so it is +inf for lowercase-hex min."""
     sh = shingles(text_col)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"|{j}"))))
-            )
-            for j in range(k)
-        ]
+    inf = F.array_repeat(F.lit("g"), k)
+    return F.aggregate(
+        sh,
+        inf,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.md5(F.concat(s, F.lit(f"|{j}"))) for j in range(k)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -103,9 +111,33 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
+    pre_dedup: bool = True,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH band."""
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band.
+
+    Skew hardening (the two ways a band self-join goes quadratic):
+    - ``pre_dedup``: exact duplicates share EVERY band, so a dup group of
+      size g alone contributes g²/2 pairs per band. Dedup by normalized-
+      text fingerprint first and band only the min-id representative —
+      exact dups belong to ``exact_dedup`` upstream, not the LSH join.
+    - ``max_bucket``: a degenerate band value (empty docs, boilerplate)
+      can collect millions of members; buckets over the cap are EXCLUDED
+      from pair generation (callers route oversized buckets to an exact
+      verify/sampling path). The cap bounds any task's join work at
+      max_bucket² per bucket regardless of corpus skew."""
+    if pre_dedup:
+        fps = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+        reps = fps.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        docs = docs.join(reps.select(id_col), id_col, "left_semi")
     b = lsh_bands(docs, id_col, text_col, k, bands)
+    if max_bucket is not None:
+        sizes = b.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+        b = (
+            b.join(sizes, ["band_id", "band_hash"])
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     left = b.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
@@ -143,6 +175,127 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_votes(text_col, bits: int = 64):
+    """Per-bit vote sums for a ``bits``-wide simhash: each token's md5
+    (computed ONCE per token, then reused for all bits) votes ±1 on bit b
+    according to hex nibble b//4's bit b%4. One pass over the token array
+    (aggregate + zip_with); returns array<int> of length ``bits``."""
+    toks = tokens(F.lower(text_col))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    hexd = F.lit(HEXD)
+
+    def bitvote(h, b: int):
+        nib, bit = divmod(b, 4)
+        nibble = F.instr(hexd, F.substring(h, nib + 1, 1)) - 1
+        return F.when(
+            (F.floor(nibble / F.lit(2 ** bit)) % 2) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, F.array(*[bitvote(h, b) for b in range(bits)]), lambda a, v: a + v
+        ),
+    )
+
+
+def simhash_hex_from_votes(votes_col, bits: int = 64):
+    """Hex-string signature from a materialized votes column: nibble n
+    encodes bits 4n..4n+3 (bit 4n+j has weight 2^j). String form keeps
+    the full 64 bits portable across engines (no signed-long games)."""
+    hexchars = F.array(*[F.lit(c) for c in HEXD])
+    chars = []
+    for n in range(bits // 4):
+        val = F.lit(0)
+        for j in range(4):
+            val = val + F.when(
+                F.element_at(votes_col, 4 * n + j + 1) > 0, F.lit(2 ** j)
+            ).otherwise(F.lit(0))
+        chars.append(F.element_at(hexchars, val + 1))
+    return F.concat(*chars)
+
+
+def simhash64_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) with a 64-bit hex-string signature. Two-step select
+    so the vote aggregate is evaluated once, not once per nibble."""
+    with_votes = docs.select(
+        F.col(id_col), simhash_votes(F.col(text_col)).alias("_votes")
+    )
+    return with_votes.select(
+        id_col, simhash_hex_from_votes(F.col("_votes")).alias("simhash")
+    )
+
+
+def _nib(sig_col, n: int):
+    return F.instr(F.lit(HEXD), F.substring(sig_col, n + 1, 1)) - 1
+
+
+def simhash_hamming(sig_a, sig_b, bits: int = 64):
+    """Exact Hamming distance between two hex-string signatures."""
+    d = F.lit(0)
+    for n in range(bits // 4):
+        d = d + F.bit_count(_nib(sig_a, n).bitwiseXOR(_nib(sig_b, n)))
+    return d
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit simhash within a Hamming ball: candidate
+    generation is BANDED (pigeonhole: distance ≤ bands-1 guarantees at
+    least one of ``bands`` equal 16-bit slices — the classic
+    permute-and-block shape, so the self-join is on band equality, never
+    all-pairs), then exact Hamming verify on candidates only."""
+    assert max_distance < bands, "pigeonhole needs max_distance < bands"
+    sigs = simhash64_df(docs, id_col, text_col)
+    width = (64 // bands) // 4  # hex chars per band
+    stacked = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("simhash", b * width + 1, width).alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    left = stacked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "band_id", "band_val",
+    )
+    right = stacked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "band_id", "band_val",
+    )
+    cands = (
+        left.join(right, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", simhash_hamming(F.col("sig_a"), F.col("sig_b"))
+        )
+        .where(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
     )
 
 
