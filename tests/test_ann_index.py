@@ -1,0 +1,54 @@
+"""Persisted LSH ANN index: partition-pruned multi-probe queries and
+recall vs the exact brute-force baseline (VERDICT r1 item 5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from webcrawlerfull_spark.operators import similarity as SIM
+
+
+def test_probe_signatures():
+    probes = SIM.probe_signatures("0000", 1)
+    assert probes == sorted(["0000", "1000", "0100", "0010", "0001"])
+    assert len(SIM.probe_signatures("00000000", 1)) == 9
+    assert len(SIM.probe_signatures("00000000", 2)) == 1 + 8 + 28
+
+
+def test_lsh_index_multiprobe_recall(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    dims = len(qv)
+    path = str(tmp_path / "annidx")
+    # recall/cost dial: these embeddings are near-uniform (worst case for
+    # LSH), so hit the recall bar with fewer planes + 2-flip multi-probe
+    # (22/64 buckets); clustered real embeddings get the same recall much
+    # cheaper (8 planes / 1 flip = 9/256 buckets, the oracle query's shape)
+    planes, mp = 6, 2
+    SIM.write_lsh_index(emb, path, dims=dims, planes=planes)
+
+    exact = [r["vec_id"] for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    approx_df = SIM.lsh_topk_indexed(
+        spark, path, qv, dims=dims, k=10, planes=planes, multi_probe=mp
+    )
+    approx = [r["vec_id"] for r in approx_df.collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, (recall, exact, approx)
+
+    # the probe read is partition-pruned on sig (the scale property: a
+    # query touches a bounded bucket set, not the whole corpus)
+    probes = SIM.probe_signatures(SIM.query_signature(qv, dims, planes), mp)
+    idx = spark.read.parquet(path).where(F.col("sig").isin(probes))
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig" in plan
+
+    # index-free one-shot with the same probes agrees with the index path
+    oneshot = [
+        r["vec_id"]
+        for r in SIM.lsh_topk(
+            emb, qv, dims=dims, k=10, planes=planes, multi_probe=mp
+        ).collect()
+    ]
+    assert oneshot == approx

@@ -79,6 +79,86 @@ def lsh_signature(vec_col, dims: int, planes: int = 8):
     return F.concat(*bits)
 
 
+def query_signature(query_vec: list[float], dims: int, planes: int = 8) -> str:
+    """The query vector's bucket signature (driver-side, no Spark)."""
+    return "".join(
+        "1"
+        if sum(plane_weight(p, d) * float(query_vec[d]) for d in range(dims)) > 0
+        else "0"
+        for p in range(planes)
+    )
+
+
+def probe_signatures(q_sig: str, multi_probe: int = 1) -> list[str]:
+    """Multi-probe bucket set: the exact signature plus every signature
+    within Hamming distance ``multi_probe`` (flip 1..m bits). A vector
+    near a hyperplane lands on either side with ~equal probability, so
+    probing the 1-flip neighbors bounds the recall loss of single-bucket
+    LSH at the cost of planes+1 (m=1) bucket reads instead of 1."""
+    sigs = {q_sig}
+    frontier = {q_sig}
+    for _ in range(multi_probe):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                flipped = s[:i] + ("0" if s[i] == "1" else "1") + s[i + 1 :]
+                if flipped not in sigs:
+                    nxt.add(flipped)
+        sigs |= nxt
+        frontier = nxt
+    return sorted(sigs)
+
+
+def lsh_index(
+    embeddings: DataFrame,
+    dims: int,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sig, id, embedding) — the ANN index rows: signatures computed
+    ONCE over the corpus, not per query."""
+    return embeddings.select(
+        lsh_signature(F.col(vec_col), dims, planes).alias("sig"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    dims: int,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the index PARTITIONED BY signature: a query then reads
+    only its probe buckets (partition pruning — at 100 TB each query
+    scans ~(probes/2^planes) of the corpus instead of all of it)."""
+    lsh_index(embeddings, dims, planes, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("sig").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    dims: int,
+    k: int = 10,
+    planes: int = 8,
+    multi_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over the persisted index: partition-pruned read of the
+    multi-probe buckets + exact in-bucket cosine top-k."""
+    probes = probe_signatures(query_signature(query_vec, dims, planes), multi_probe)
+    idx = spark.read.parquet(index_path).where(F.col("sig").isin(probes))
+    return cosine_topk(idx, query_vec, k, id_col, vec_col)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -87,15 +167,13 @@ def lsh_topk(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """ANN: exact cosine within the query's hyperplane bucket only
-    (recall < 1 by design; deterministic)."""
-    q_sig = "".join(
-        "1"
-        if sum(plane_weight(p, d) * float(query_vec[d]) for d in range(dims)) > 0
-        else "0"
-        for p in range(planes)
-    )
+    """Index-free ANN (one-shot): exact cosine within the query's
+    multi-probe bucket set. For repeated queries build the persisted
+    index (write_lsh_index + lsh_topk_indexed) instead — this form
+    recomputes signatures per call."""
+    probes = probe_signatures(query_signature(query_vec, dims, planes), multi_probe)
     bucketed = embeddings.withColumn("sig", lsh_signature(F.col(vec_col), dims, planes))
-    candidates = bucketed.where(F.col("sig") == F.lit(q_sig))
+    candidates = bucketed.where(F.col("sig").isin(probes))
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
