@@ -540,13 +540,18 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "s12_simplify_domain": f"""
-            {corpus}
-            SELECT regexp_extract(lower(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1)),
-                                  '([^.]+)\\.([^.]+)$', 1)
-                   || '_' ||
-                   regexp_extract(lower(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1)),
-                                  '([^.]+)\\.([^.]+)$', 2) AS domain_key,
-                   COUNT(*) AS n
+            WITH corpus AS ({S12_CORPUS_SQL})
+            SELECT CASE CAST(seq % 8 AS INT)
+                WHEN 0 THEN 'example_co_uk'
+                WHEN 1 THEN 'store' || CAST(seq % 5 AS INT) || '_com_au'
+                WHEN 2 THEN 'example_nagoya_jp'
+                WHEN 3 THEN 'example_com'
+                WHEN 4 THEN 'example_org'
+                WHEN 5 THEN 'example_gob_mx'
+                WHEN 6 THEN 'myshop_co_in'
+                ELSE 'example_com'
+              END AS domain_key,
+              COUNT(*) AS n
             FROM corpus GROUP BY 1
         """,
 
@@ -715,10 +720,31 @@ def _q_frame_sample(spark, sf_dir):
 
 
 
+# S12 corpus: hosts spanning PSL two-level suffixes (co.uk, com.au,
+# geographic jp), deep subdomains, bare registered domains, and case
+# mixing — the oracle's expected keys are hand-derived per branch
+S12_CORPUS_SQL = """
+SELECT p_partkey AS seq,
+  'https://' ||
+    CASE CAST(p_partkey % 8 AS INT)
+      WHEN 0 THEN 'shop.Example.co.uk'
+      WHEN 1 THEN 'www.store' || CAST(p_partkey % 5 AS INT) || '.com.au'
+      WHEN 2 THEN 'foo.example.nagoya.jp'
+      WHEN 3 THEN 'a.b.example.com'
+      WHEN 4 THEN 'example.org'
+      WHEN 5 THEN 'x.example.gob.mx'
+      WHEN 6 THEN 'deals.myshop.co.in'
+      ELSE 'www.shop' || CAST(p_partkey % 3 AS INT) || '.example.com'
+    END || '/p/' || p_partkey AS url
+FROM part
+"""
+
+
 def _q_simplify_domain(spark, sf_dir):
     from webcrawlerfull_spark.api import simplify_domain
 
-    c = _corpus(spark, sf_dir)
+    _register(spark, sf_dir)
+    c = spark.sql(S12_CORPUS_SQL)
     return (
         c.select(simplify_domain(F.col("url")).alias("domain_key"))
         .groupBy("domain_key")

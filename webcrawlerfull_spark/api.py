@@ -23,12 +23,49 @@ from webcrawlerfull_spark.sources.catalog import Catalog
 from webcrawlerfull_spark.streaming.driver import CrawlResult, crawl
 from webcrawlerfull_spark.synthgen import World
 
-# the multi-label public suffixes that matter for the S12 heuristic; all
-# other suffixes are single-label (the tldextract-lite path)
+# Multi-label public suffixes for the S12 registered-domain split — a
+# curated subset of the Public Suffix List (publicsuffix.org, public
+# data; tldextract ships the full list but is not in this container).
+# Table-driven: extending coverage = adding rows here; the match is
+# longest-suffix-first (two-label entries tried before the one-label
+# fallback). Includes the PSL's geographic jp entries (e.g. nagoya.jp).
 TWO_LEVEL_SUFFIXES = [
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.nz", "com.sg", "com.tr",
+    # uk / au / nz / in / za
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "plc.uk",
+    "ltd.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "res.in",
+    "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
+    # jp (incl. geographic public suffixes)
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "nagoya.jp", "yokohama.jp", "osaka.jp", "kyoto.jp", "sapporo.jp",
+    "sendai.jp", "kobe.jp", "kawasaki.jp", "kitakyushu.jp", "aichi.jp",
+    "hokkaido.jp", "okinawa.jp", "fukuoka.jp", "saitama.jp", "chiba.jp",
+    # kr / tw / hk / sg / th / id / my / ph / vn / cn
+    "co.kr", "or.kr", "ne.kr", "go.kr", "re.kr", "pe.kr", "ac.kr",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "co.th", "or.th", "ac.th", "go.th", "in.th",
+    "co.id", "or.id", "net.id", "ac.id", "web.id", "go.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    # americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    # europe / middle east
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "kiev.ua",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.ae", "org.ae", "net.ae", "com.sa", "com.eg",
 ]
 
 

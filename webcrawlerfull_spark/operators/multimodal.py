@@ -108,28 +108,37 @@ def extract_features(media: DataFrame, n_features: int = 8, fake: bool = True) -
 
 def frame_sample(media: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
     """Video frame-sampling plumbing: one input row → N frame rows
-    (demonstrates the 1→many mapInPandas shape; frames are stub bytes)."""
+    (demonstrates the 1→many mapInPandas shape; frames are stub bytes).
+
+    Vectorized fan-out: per-row frame counts → numpy repeat/concatenate
+    for the (media_id, frame_no) expansion; the only per-frame Python is
+    the sha256 stand-in occupying the codec call's slot (a real decoder
+    is per-frame work by nature — swap the hash for the library call)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video":
-                    continue
-                n_frames = max(1, int(row["n_bytes"]) // every_n)
-                for i in range(min(n_frames, 5)):
-                    frame = hashlib.sha256(
-                        bytes(row["payload"]) + i.to_bytes(4, "big")
-                    ).digest()
-                    out_rows.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_no": i,
-                            "frame_bytes": frame,
-                        }
-                    )
+            vids = pdf[pdf["kind"] == "video"]
+            if not len(vids):
+                yield pd.DataFrame(
+                    {"media_id": [], "frame_no": [], "frame_bytes": []}
+                )
+                continue
+            n_frames = np.clip(
+                vids["n_bytes"].to_numpy() // every_n, 1, 5
+            ).astype(np.int64)
+            media_ids = np.repeat(vids["media_id"].to_numpy(), n_frames)
+            payloads = np.repeat(vids["payload"].to_numpy(), n_frames)
+            frame_no = np.concatenate([np.arange(n) for n in n_frames])
+            frames = [
+                hashlib.sha256(bytes(p) + int(i).to_bytes(4, "big")).digest()
+                for p, i in zip(payloads, frame_no)
+            ]
             yield pd.DataFrame(
-                out_rows, columns=["media_id", "frame_no", "frame_bytes"]
+                {
+                    "media_id": media_ids,
+                    "frame_no": frame_no.astype(np.int32),
+                    "frame_bytes": frames,
+                }
             )
 
     schema = StructType(
