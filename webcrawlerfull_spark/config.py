@@ -145,3 +145,7 @@ class CrawlConfig:
     bloom_buckets: int = 64
     bloom_fpp: float = 0.01
     bloom_capacity_per_bucket: int = 1_000_000
+    # MERGE-equivalent state compaction: every N rounds, rewrite the
+    # products/seen round dirs into one (bounds read amplification on a
+    # long crawl); None disables (parity mode / short runs)
+    compact_every: int | None = None

@@ -97,10 +97,13 @@ def update_filters(
     capacity: int = 1_000_000,
     fpp: float = 0.01,
     url_col: str = "url",
+    touched_only: bool = False,
 ) -> DataFrame:
-    """Merge newly-seen URLs into the bucketized filter state. Returns the
-    FULL new filter table (one row per touched bucket; untouched buckets
-    keep their old row)."""
+    """Merge newly-seen URLs into the bucketized filter state. Returns
+    the FULL new filter table, or with ``touched_only`` just the updated
+    bucket rows (the MERGE-style delta a round persists — the reader
+    reconstructs the live state as latest-row-per-bucket, so a round that
+    touches 5 of 64 buckets writes 5 rows, not the whole state)."""
     m, k = _params(capacity, fpp)
     spark = new_urls.sparkSession
     new_b = new_urls.select(
@@ -110,6 +113,15 @@ def update_filters(
         old_filters = spark.createDataFrame([], schema=FILTERS_SCHEMA)
 
     def merge(key, urls_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(urls_pdf):
+            # filter-only bucket: not touched this round (the untouched
+            # branch below carries it in full-state mode)
+            return pd.DataFrame(
+                {
+                    "bucket_id": pd.Series([], dtype="int32"),
+                    "filter_bytes": pd.Series([], dtype=object),
+                }
+            )
         bucket_id = int(key[0])
         if len(filt_pdf):
             bits = np.frombuffer(filt_pdf["filter_bytes"].iloc[0], dtype=np.uint8).copy()
@@ -125,6 +137,8 @@ def update_filters(
         .cogroup(old_filters.groupBy("bucket_id"))
         .applyInPandas(merge, schema=FILTERS_SCHEMA)
     )
+    if touched_only:
+        return touched
     untouched = old_filters.join(
         new_b.select("bucket_id").distinct(), "bucket_id", "left_anti"
     )

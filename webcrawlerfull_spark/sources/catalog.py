@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -38,6 +38,7 @@ class Catalog:
         self.spark = spark
         self.base = base
         os.makedirs(base, exist_ok=True)
+        self._finish_pending_compactions()
 
     def _dir(self, table: str, round_id: int | None = None) -> str:
         # dir key is "r=", not "round=": several tables carry a `round`
@@ -78,6 +79,84 @@ class Catalog:
         paths = [self._dir(table, r) for r in rounds]
         df = self.spark.read.option("basePath", self._dir(table)).parquet(*paths)
         return df.drop("r")
+
+    def read_all_with_round(
+        self, table: str, up_to_round: int | None = None
+    ) -> DataFrame | None:
+        """Like read_all but keeps the ``r`` partition column (which round
+        directory each row came from)."""
+        rounds = self.committed_rounds(table)
+        if up_to_round is not None:
+            rounds = [r for r in rounds if r <= up_to_round]
+        if not rounds:
+            return None
+        paths = [self._dir(table, r) for r in rounds]
+        return self.spark.read.option("basePath", self._dir(table)).parquet(*paths)
+
+    def read_bloom(self, up_to_round: int | None = None) -> DataFrame | None:
+        """Current bloom filter state: rounds write only their TOUCHED
+        buckets (S7's touched-rows-only MERGE shape — at 10^10 URLs the
+        full-state rewrite per round is the first scale killer), so the
+        live state is the latest row per bucket across committed rounds."""
+        df = self.read_all_with_round("seen_bloom", up_to_round)
+        if df is None:
+            return None
+        w = Window.partitionBy("bucket_id").orderBy(F.col("r").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "r")
+        )
+
+    def compact(
+        self, table: str, up_to: int, dedup_keys: list[str] | None = None
+    ) -> bool:
+        """MERGE-equivalent compaction (reference upsert-union,
+        storage.py:140-186 / SURVEY S7+J5): rewrite every committed round
+        directory <= ``up_to`` into the single ``r=up_to`` directory,
+        keep-first deduped on ``dedup_keys`` (rows keep their ``round``
+        DATA column, so row-level lineage survives; directory-level
+        time-travel below ``up_to`` is traded away — the Iceberg
+        snapshot-expiry analogue). Crash-safe: the merged data lands in a
+        committed .compact tmp dir first and ``__init__`` finishes any
+        interrupted swap."""
+        rounds = [r for r in self.committed_rounds(table) if r <= up_to]
+        if len(rounds) <= 1:
+            return False
+        df = self.read_all(table, up_to_round=up_to)
+        if dedup_keys:
+            w = Window.partitionBy(*dedup_keys).orderBy(F.col("round").asc())
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        tmp = self._dir(table, None) + f"/.compact={up_to}"
+        df.write.mode("overwrite").parquet(tmp)
+        for r in rounds:
+            shutil.rmtree(self._dir(table, r), ignore_errors=True)
+        os.rename(tmp, self._dir(table, up_to))
+        return True
+
+    def _finish_pending_compactions(self) -> None:
+        """Recovery for a crash between the round-dir removals and the
+        tmp rename: a committed .compact dir is authoritative."""
+        for table in self.TABLES:
+            d = self._dir(table)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                if not name.startswith(".compact="):
+                    continue
+                tmp = os.path.join(d, name)
+                if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    continue
+                up_to = int(name.split("=", 1)[1])
+                for r in self.committed_rounds(table):
+                    if r <= up_to:
+                        shutil.rmtree(self._dir(table, r), ignore_errors=True)
+                os.rename(tmp, self._dir(table, up_to))
 
     def max_committed_round(self) -> int | None:
         """Resume point: lineage is written last per round (commit marker)."""

@@ -100,18 +100,17 @@ def crawl(
         seen = catalog.read_all("seen", up_to_round=round_id - 1) or _empty_seen(spark)
         seen_filters = None
         if cfg.use_bloom and round_id > 0:
-            if catalog.has_round("seen_bloom", round_id - 1):
-                seen_filters = catalog.read_round("seen_bloom", round_id - 1)
-            else:
+            seen_filters = catalog.read_bloom(up_to_round=round_id - 1)
+            if seen_filters is None:
                 # bloom toggled on mid-run (resume): the cumulative filter
                 # must cover EVERYTHING in the exact seen table, else
                 # earlier-seen URLs probe definitely-new and get re-fetched
-                seen_filters = update_filters(
+                seeded = update_filters(
                     seen.select("url"), None, cfg.bloom_buckets,
                     cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
                 )
-                catalog.write_round(seen_filters, "seen_bloom", round_id - 1)
-                seen_filters = catalog.read_round("seen_bloom", round_id - 1)
+                catalog.write_round(seeded, "seen_bloom", round_id - 1)
+                seen_filters = catalog.read_bloom(up_to_round=round_id - 1)
 
         t0 = time.monotonic()
         # ---- stage 1: schedule (robots + J1 seen anti-join + politeness) ---
@@ -138,11 +137,13 @@ def crawl(
             round_id,
         )
         if cfg.use_bloom:
-            # full filter state per round (simple + resume-friendly; an
-            # Iceberg MERGE would rewrite only touched buckets)
+            # touched-bucket-only delta (the MERGE shape): the reader
+            # reconstructs live state as latest-row-per-bucket, so a
+            # round persists only the buckets it actually updated
             new_filters = update_filters(
                 scheduled.select("url"), seen_filters, cfg.bloom_buckets,
                 cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
+                touched_only=True,
             )
             catalog.write_round(new_filters, "seen_bloom", round_id)
 
@@ -230,6 +231,13 @@ def crawl(
             schema=schemas.LINEAGE,
         )
         catalog.write_round(lineage_row, "lineage", round_id)
+
+        # MERGE-equivalent compaction AFTER the commit marker: rewrite the
+        # monotonically-growing state tables' round dirs into one so the
+        # per-round read_all fan-in stays O(1) dirs on a long crawl
+        if cfg.compact_every and (round_id + 1) % cfg.compact_every == 0:
+            catalog.compact("products", round_id, ["task_id", "domain", "url"])
+            catalog.compact("seen", round_id, ["url"])
 
         page_arrays.unpersist()
         round_id += 1
