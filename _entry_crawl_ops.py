@@ -317,8 +317,61 @@ def _q_a2_a5_uniques_by_domain(spark, sf_dir):
     )
 
 
+# H1/P2 corpus: HTML assembled by shared SQL, so the expected span
+# sequence is known by construction and the REAL parse UDF (tokenizer,
+# entity unescape, urljoin, pagination classification) is driver-checked
+H1_CORPUS_SQL = f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT seq,
+  'www.shop' || CAST(seq % 7 AS INT) || '.example.com' AS host,
+  'https://www.shop' || CAST(seq % 7 AS INT) || '.example.com/cat'
+    AS page_url,
+  CASE CAST(seq % 4 AS INT)
+    WHEN 0 THEN '/product/w-' || seq
+    WHEN 1 THEN url
+    WHEN 2 THEN '/category/c1?page=2'
+    ELSE '?page=' || CAST(seq % 5 AS INT)
+  END AS href,
+  CASE CAST(seq % 3 AS INT)
+    WHEN 0 THEN 'Product ' || seq
+    WHEN 1 THEN 'Next »'
+    ELSE '  spaced text  '
+  END AS atext,
+  'word' || CAST(seq % 9 AS INT) AS word
+FROM corpus
+"""
+
+
+def _q_h1_parse_spans(spark, sf_dir):
+    """H1+P2 — the payload UDF end to end: html -> ordered interleaved
+    spans (kind, text, media_ref, offset), incl. entity unescaping,
+    relative-href resolution, and internal-pagination classification."""
+    from webcrawlerfull_spark.operators.parse_spans import parse_spans_udf
+
+    _register(spark, sf_dir)
+    base = spark.sql(H1_CORPUS_SQL)
+    html = F.concat(
+        F.lit("<p>"), F.col("word"), F.lit(" &amp; more</p>"),
+        F.lit('<a href="'), F.col("href"), F.lit('">'), F.col("atext"),
+        F.lit("</a>"),
+        F.lit('<img src="/img/'), F.col("seq").cast("string"),
+        F.lit('.png">'),
+    )
+    parsed = base.select(
+        "seq", parse_spans_udf(html, F.col("page_url"), F.col("host")).alias("spans")
+    )
+    return parsed.select("seq", F.explode("spans").alias("s")).select(
+        "seq",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def crawl_ops_queries() -> dict:
     return {
+        "h1_parse_spans": _q_h1_parse_spans,
         "p3_internal_link": _q_p3_internal_link,
         "p8_retry_policy": _q_p8_retry_policy,
         "p10_ai_url_dedup": _q_p10_ai_url_dedup,
@@ -504,6 +557,35 @@ firsts AS (
 def crawl_ops_oracles() -> dict:
     cascade_full = f"WITH {_SPANS_CTE}, {_CASCADE_CTE}"
     return {
+        # expected spans derived from the HTML's construction: text node
+        # with the entity unescaped; anchor resolved per href shape
+        # (root-relative / absolute-external / pagination path / query-
+        # only relative), classified internal-pagination per the
+        # reference rules; media resolved root-relative
+        "h1_parse_spans": f"""
+            WITH base AS ({H1_CORPUS_SQL})
+            SELECT seq, 0 AS offset, 'text' AS kind,
+                   word || ' & more' AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM base
+            UNION ALL
+            SELECT seq, 1,
+                   CASE WHEN CAST(seq % 4 AS INT) = 1 THEN 'link'
+                        WHEN CAST(seq % 4 AS INT) IN (2, 3) THEN 'pagination'
+                        WHEN CAST(seq % 3 AS INT) = 1 THEN 'pagination'
+                        ELSE 'link' END,
+                   trim(atext),
+                   CASE CAST(seq % 4 AS INT)
+                     WHEN 0 THEN 'https://' || host || href
+                     WHEN 1 THEN href
+                     WHEN 2 THEN 'https://' || host || href
+                     ELSE page_url || href END
+            FROM base
+            UNION ALL
+            SELECT seq, 2, 'media', CAST(NULL AS VARCHAR),
+                   'https://' || host || '/img/' || seq || '.png'
+            FROM base
+        """,
         "p3_internal_link": f"""
             WITH base AS ({LINKS_CORPUS_SQL})
             SELECT seq, link_url AS url,

@@ -166,35 +166,43 @@ def conditional_priority_cap(
     first; otherwise pure discovery order. Returns the top-``cap`` rows
     per domain with ``_rn`` (1-based rank) attached.
 
-    Scale shape: a SALTED TWO-PHASE top-k. The count gate is a groupBy
-    broadcast-joined back (domains are small rows even at 10^6 domains),
-    phase 1 takes the per-(domain, salt) top-``cap`` so a hot domain's
-    tens of millions of pre-cap links sort across ``salt_partitions``
-    tasks, phase 2 ranks the ≤ salt_partitions×cap survivors exactly —
-    identical output to a single per-domain window (any row in the true
-    top-cap is within its salt slice's top-cap), without pinning one task.
-    Requires (url, domain, priority, discovery_seq); discovery_seq is
-    unique per (domain, url) so the order is total and deterministic."""
-    counts = links.groupBy("domain").agg(F.count("*").alias("_cnt"))
-    gated = links.join(F.broadcast(counts), "domain").withColumn(
-        "_eff_priority",
-        F.when(F.col("_cnt") > cap, F.col("priority")).otherwise(F.lit(0)),
-    )
-    salted = gated.withColumn(
+    Scale shape: a SALTED TWO-PHASE top-k, single pass over the input.
+    Phase 1 ranks per (domain, salt) by (priority, discovery_seq) — a
+    valid superset of the true order under BOTH gate outcomes: gate on
+    means the true order IS (priority, seq); gate off means the domain
+    has ≤ cap rows, so every salt slice has ≤ cap rows and nothing is
+    cut. The per-salt COUNT rides the same window partition, and phase 2
+    reconstructs the domain total as sum(count over rank-1 rows) on the
+    ≤ salt_partitions×cap survivors — so the count gate costs no extra
+    shuffle, no broadcast, and (crucially) no recomputation of the
+    upstream discovery joins, while no task ever sees more than one salt
+    slice of a hot domain pre-cap. Identical output to a single
+    per-domain window. Requires (url, domain, priority, discovery_seq);
+    discovery_seq is unique per (domain, url) so the order is total and
+    deterministic."""
+    salted = links.withColumn(
         "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
     )
     w1 = Window.partitionBy("domain", "_salt").orderBy(
-        "_eff_priority", "discovery_seq"
+        "priority", "discovery_seq"
     )
+    w1_cnt = Window.partitionBy("domain", "_salt")
     survivors = (
         salted.withColumn("_rn1", F.row_number().over(w1))
+        .withColumn("_scnt", F.count("*").over(w1_cnt))
         .where(F.col("_rn1") <= cap)
+    )
+    w_dom = Window.partitionBy("domain")
+    total = F.sum(F.when(F.col("_rn1") == 1, F.col("_scnt"))).over(w_dom)
+    gated = survivors.withColumn(
+        "_eff_priority",
+        F.when(total > cap, F.col("priority")).otherwise(F.lit(0)),
     )
     w2 = Window.partitionBy("domain").orderBy("_eff_priority", "discovery_seq")
     return (
-        survivors.withColumn("_rn", F.row_number().over(w2))
+        gated.withColumn("_rn", F.row_number().over(w2))
         .where(F.col("_rn") <= cap)
-        .drop("_cnt", "_eff_priority", "_salt", "_rn1")
+        .drop("_eff_priority", "_salt", "_rn1", "_scnt")
     )
 
 

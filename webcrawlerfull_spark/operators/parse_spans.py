@@ -49,6 +49,43 @@ def _classify_anchor(text: str, href: str) -> bool:
     return any(r.search(href or "") for r in _PAG_RES)
 
 
+def _netloc_of(absolute: str) -> str:
+    """netloc of an absolute http(s) URL — string-slice equivalent of
+    urlparse().netloc (pytest span-equality vs the urlparse-based oracle
+    covers the equivalence over the corpus)."""
+    k = absolute.find("://") + 3
+    end = len(absolute)
+    for stop in ("/", "?", "#"):
+        e = absolute.find(stop, k)
+        if 0 <= e < end:
+            end = e
+    return absolute[k:end]
+
+
+def _make_joiner(base_url: str):
+    """(href) -> (absolute_url, netloc) with string fast paths for the
+    two href shapes that dominate crawled HTML (root-relative and
+    absolute http(s)); everything else falls back to stdlib urljoin.
+    urljoin+urlparse per anchor was the hot path's top cost after the
+    regex tokenizer landed (~45 anchors/page x 10^6 pages/round)."""
+    i = base_url.find("://")
+    if i < 0:
+        return lambda h: (urljoin(base_url, h), urlparse(urljoin(base_url, h)).netloc)
+    j = base_url.find("/", i + 3)
+    root = base_url if j < 0 else base_url[:j]
+    root_netloc = root[i + 3 :]
+
+    def join(href: str) -> tuple[str, str]:
+        if href.startswith("/") and not href.startswith("//"):
+            return root + href, root_netloc
+        if href.startswith("https://") or href.startswith("http://"):
+            return href, _netloc_of(href)
+        full = urljoin(base_url, href)
+        return full, urlparse(full).netloc
+
+    return join
+
+
 def spans_columns(
     html: str, base_url: str, domain_netloc: str
 ) -> tuple[list, list, list]:
@@ -60,6 +97,7 @@ def spans_columns(
     kinds: list = []
     texts: list = []
     refs: list = []
+    join = _make_joiner(base_url)
     for ev in tokenize(html):
         if ev[0] == "text":
             chunk = ev[1].strip()
@@ -72,8 +110,7 @@ def spans_columns(
             href, text = ev[1], ev[2]
             if not href:
                 continue
-            full = urljoin(base_url, href)
-            netloc = urlparse(full).netloc
+            full, netloc = join(href)
             internal = (not netloc) or netloc == domain_netloc
             kinds.append(
                 "pagination" if internal and _classify_anchor(text, href) else "link"
@@ -83,7 +120,7 @@ def spans_columns(
         else:  # media
             kinds.append("media")
             texts.append(None)
-            refs.append(urljoin(base_url, ev[1]))
+            refs.append(join(ev[1])[0])
     return kinds, texts, refs
 
 
