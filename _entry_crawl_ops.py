@@ -369,8 +369,68 @@ def _q_h1_parse_spans(spark, sf_dir):
     )
 
 
+def _q_s9_s10_file_sinks(spark, sf_dir):
+    """S9/S10 — the JSON and CSV file sinks, driver-checked as a ROUND
+    TRIP: the corpus is written through the real sink functions, read
+    back, and compared against DuckDB's direct evaluation of the same
+    corpus (any loss/corruption in either sink fails the hash)."""
+    import hashlib
+    import shutil
+
+    from webcrawlerfull_spark.api import save_csv, save_json
+
+    _register(spark, sf_dir)
+    c = spark.sql(CORPUS_SQL).select(F.col("seq").cast("long").alias("seq"), "url")
+    base = os.path.join(
+        "/tmp/sink_check", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    jdir, cdir = os.path.join(base, "json"), os.path.join(base, "csv")
+    save_json(c, jdir)
+    save_csv(c, cdir)
+    j = spark.read.json(jdir).select(
+        F.lit("json").alias("fmt"), F.col("seq").cast("long").alias("seq"), "url"
+    )
+    cs = spark.read.option("header", True).schema("seq long, url string").csv(
+        cdir
+    ).select(F.lit("csv").alias("fmt"), "seq", "url")
+    return j.unionByName(cs)
+
+
+def _q_crawl_e2e_lineage(spark, sf_dir):
+    """S1/S2/S4/S11 + A6/A7 — a real end-to-end crawl over a small fixed
+    synthetic world; returns the per-round lineage (frontier size, fetch/
+    parse counts, products). Rows-only for the driver (a BFS crawl is not
+    SQL-expressible); the strong equality check is the pytest parity
+    suite against the vendored reference crawler."""
+    import tempfile
+
+    from webcrawlerfull_spark.config import CrawlConfig
+    from webcrawlerfull_spark.sources.catalog import Catalog
+    from webcrawlerfull_spark.streaming.driver import crawl
+    from webcrawlerfull_spark.synthgen import World
+
+    world = World(seed=11, n_hosts=3, base_pages=30)
+    with tempfile.TemporaryDirectory() as tmp:
+        cat = Catalog(spark, os.path.join(tmp, "cat"))
+        cfg = CrawlConfig(max_depth=3, shuffle_partitions=8)
+        res = crawl(spark, world.seeds(), cfg, world, cat)
+        rows = (
+            res.lineage.select(
+                "round", "frontier_size", "fetched", "parsed", "products"
+            )
+            .orderBy("round")
+            .collect()
+        )
+    return spark.createDataFrame(
+        rows, "round int, frontier_size long, fetched long, parsed long, products long"
+    )
+
+
 def crawl_ops_queries() -> dict:
     return {
+        "s9_s10_file_sinks": _q_s9_s10_file_sinks,
+        "crawl_e2e_lineage": _q_crawl_e2e_lineage,
         "h1_parse_spans": _q_h1_parse_spans,
         "p3_internal_link": _q_p3_internal_link,
         "p8_retry_policy": _q_p8_retry_policy,
@@ -557,6 +617,14 @@ firsts AS (
 def crawl_ops_oracles() -> dict:
     cascade_full = f"WITH {_SPANS_CTE}, {_CASCADE_CTE}"
     return {
+        "s9_s10_file_sinks": f"""
+            WITH corpus AS ({CORPUS_SQL})
+            SELECT f.fmt, CAST(seq AS BIGINT) AS seq, url
+            FROM corpus
+            CROSS JOIN (SELECT 'json' AS fmt UNION ALL SELECT 'csv') f
+        """,
+        # crawl_e2e_lineage: rows-only by design (BFS crawl is not
+        # SQL-expressible; pytest parity is the equality check)
         # expected spans derived from the HTML's construction: text node
         # with the entity unescaped; anchor resolved per href shape
         # (root-relative / absolute-external / pagination path / query-
