@@ -369,6 +369,43 @@ def _q_h1_parse_spans(spark, sf_dir):
     )
 
 
+# robots.txt corpus: one deterministic robots file per host covering
+# star sections, foreign-UA sections, empty Disallow, comments, Allow
+# lines, and mixed directive case
+ROBOTS_CORPUS_SQL = f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT seq,
+  'h' || CAST(seq AS INT) || '.example.com' AS host,
+  CASE CAST(seq % 5 AS INT)
+    WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private/'
+                || chr(10) || 'Disallow: /tmp'
+    WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /all/'
+                || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /blog/'
+    WHEN 2 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+    WHEN 3 THEN '# comment' || chr(10) || 'User-Agent: *' || chr(10)
+                || 'Allow: /x' || chr(10) || 'disallow: /Cart'
+    ELSE 'User-agent: other' || chr(10) || 'Disallow: /everything'
+  END AS robots_txt
+FROM corpus
+"""
+
+
+def _q_robots_parse(spark, sf_dir):
+    """robots.txt -> Disallow prefixes (north-star robots gating), via
+    the real columnar parser."""
+    from webcrawlerfull_spark.functions.robots import parse_robots
+
+    _register(spark, sf_dir)
+    base = spark.sql(ROBOTS_CORPUS_SQL)
+    parsed = parse_robots(
+        base.select(F.col("seq").alias("host"), "robots_txt")
+    )
+    return parsed.select(
+        F.col("host").alias("seq"),
+        F.posexplode("disallow_prefixes").alias("pos", "prefix"),
+    )
+
+
 def _q_s9_s10_file_sinks(spark, sf_dir):
     """S9/S10 — the JSON and CSV file sinks, driver-checked as a ROUND
     TRIP: the corpus is written through the real sink functions, read
@@ -429,6 +466,7 @@ def _q_crawl_e2e_lineage(spark, sf_dir):
 
 def crawl_ops_queries() -> dict:
     return {
+        "robots_parse": _q_robots_parse,
         "s9_s10_file_sinks": _q_s9_s10_file_sinks,
         "crawl_e2e_lineage": _q_crawl_e2e_lineage,
         "h1_parse_spans": _q_h1_parse_spans,
@@ -617,6 +655,17 @@ firsts AS (
 def crawl_ops_oracles() -> dict:
     cascade_full = f"WITH {_SPANS_CTE}, {_CASCADE_CTE}"
     return {
+        "robots_parse": f"""
+            WITH base AS ({ROBOTS_CORPUS_SQL})
+            SELECT seq, 0 AS pos, '/private/' AS prefix FROM base
+            WHERE CAST(seq % 5 AS INT) = 0
+            UNION ALL
+            SELECT seq, 1, '/tmp' FROM base WHERE CAST(seq % 5 AS INT) = 0
+            UNION ALL
+            SELECT seq, 0, '/blog/' FROM base WHERE CAST(seq % 5 AS INT) = 1
+            UNION ALL
+            SELECT seq, 0, '/Cart' FROM base WHERE CAST(seq % 5 AS INT) = 3
+        """,
         "s9_s10_file_sinks": f"""
             WITH corpus AS ({CORPUS_SQL})
             SELECT f.fmt, CAST(seq AS BIGINT) AS seq, url
