@@ -663,6 +663,38 @@ def _q_simhash_pairs(spark, sf_dir):
     )
 
 
+def _q_jaccard_verify(spark, sf_dir):
+    """n-gram Jaccard verify stage over the LSH candidate pairs — the
+    exact-similarity pass is candidate-bounded, never all-pairs."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    cands = TD.minhash_candidate_pairs(
+        corpus, "doc_id", "text", k=64, bands=16, pre_dedup=True, max_bucket=500
+    )
+    return TD.ngram_jaccard_pairs(corpus, cands, threshold=0.5)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucketed: the embeddings plus
+    a slightly-perturbed copy of each (first component +0.1) so true
+    near-dups exist; same construction mirrored in the oracle."""
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dims = len(emb.first()["embedding"])
+    mutated = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, dims - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mutated)
+    return SIM.cosine_near_dup_pairs(
+        corpus, dims=dims, threshold=0.9, planes=6
+    )
+
+
 def _query_vec(spark, sf_dir):
     _register(spark, sf_dir)
     return [
@@ -877,7 +909,7 @@ def _simhash_pairs_sql(max_distance: int = 3, bands: int = 4) -> str:
     """
 
 
-def _minhash_sql(k: int = 64, bands: int = 16, max_bucket: int = 500) -> str:
+def _minhash_ctes(k: int = 64, bands: int = 16, max_bucket: int = 500) -> str:
     r = k // bands
     mh = ", ".join(
         f"list_min(list_transform(sh, s -> md5(s || '|{j}'))) AS m{j}"
@@ -892,7 +924,7 @@ def _minhash_sql(k: int = 64, bands: int = 16, max_bucket: int = 500) -> str:
         for b in range(bands)
     )
     return f"""
-        WITH corpus0 AS ({_NEAR_DUP_SQL}),
+        corpus0 AS ({_NEAR_DUP_SQL}),
         fps AS (
           SELECT doc_id,
                  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
@@ -920,11 +952,35 @@ def _minhash_sql(k: int = 64, bands: int = 16, max_bucket: int = 500) -> str:
         kept AS (
           SELECT s.* FROM stacked s JOIN bsize z
             ON s.band_id = z.band_id AND s.band_hash = z.band_hash
-          WHERE z.n <= {max_bucket})
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM kept a JOIN kept b
-          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-        WHERE a.doc_id < b.doc_id
+          WHERE z.n <= {max_bucket}),
+        cand_pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM kept a JOIN kept b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          WHERE a.doc_id < b.doc_id)
+    """
+
+
+def _minhash_sql(k: int = 64, bands: int = 16, max_bucket: int = 500) -> str:
+    return f"""
+        WITH {_minhash_ctes(k, bands, max_bucket)}
+        SELECT id_a, id_b FROM cand_pairs
+    """
+
+
+def _jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+        WITH {_minhash_ctes()},
+        sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh_t),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+                 round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                       / greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1),
+                       4) AS jaccard
+          FROM cand_pairs p
+          JOIN sets sa ON sa.doc_id = p.id_a
+          JOIN sets sb ON sb.doc_id = p.id_b)
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
     """
 
 
@@ -954,6 +1010,8 @@ def _extra_queries():
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_jaccard_verify": _q_jaccard_verify,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "media_feature_extract": _q_media_features,
@@ -1003,6 +1061,25 @@ def _extra_oracles():
         "dedup_minhash_lsh_pairs": _minhash_sql(),
         "dedup_simhash": _simhash64_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "dedup_jaccard_verify": _jaccard_sql(),
+        "dedup_embedding_cosine": f"""
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            corpus AS (
+              SELECT vec_id, e FROM base
+              UNION ALL
+              SELECT vec_id + 1000000, list_concat([e[1] + 0.1], e[2:])
+              FROM base),
+            sigs AS (
+              SELECT vec_id, e, {_lsh_sig_sql("e", 64, planes=6)} AS sig
+              FROM corpus),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+              FROM sigs a JOIN sigs b ON a.sig = b.sig
+              WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
+        """,
         "ann_cosine_topk": f"""
             SELECT vec_id, round({cos}, 4) AS cosine_r
             FROM embeddings

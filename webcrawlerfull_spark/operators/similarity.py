@@ -159,6 +159,34 @@ def lsh_topk_indexed(
     return cosine_topk(idx, query_vec, k, id_col, vec_col)
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    dims: int,
+    threshold: float = 0.9,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (never
+    all-pairs): candidates share a hyperplane signature — near-identical
+    vectors almost surely do — then exact cosine filters at ``threshold``.
+    The self-join is on the signature, so work is Σ bucket² not n²."""
+    sigs = lsh_index(embeddings, dims, planes, id_col, vec_col)
+    a = sigs.select(
+        "sig", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = sigs.select(
+        "sig", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = a.join(b, "sig").where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
