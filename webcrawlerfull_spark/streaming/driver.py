@@ -20,6 +20,8 @@ ever scheduled twice across the whole run.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from dataclasses import dataclass
 
@@ -52,6 +54,26 @@ class CrawlResult:
 
 def _empty_seen(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], schema=schemas.SEEN_EXACT)
+
+
+class _StageClock:
+    """WCF_STAGE_TIMING=1 prints per-stage wall times to stderr (used to
+    attribute round wall-clock when hunting scaling bottlenecks)."""
+
+    def __init__(self, round_id: int):
+        self.enabled = os.environ.get("WCF_STAGE_TIMING") == "1"
+        self.round_id = round_id
+        self.t = time.monotonic()
+
+    def lap(self, stage: str) -> None:
+        if not self.enabled:
+            return
+        now = time.monotonic()
+        print(
+            f"[stage-timing] round={self.round_id} {stage}: {now - self.t:.2f}s",
+            file=sys.stderr,
+        )
+        self.t = now
 
 
 def crawl(
@@ -113,6 +135,7 @@ def crawl(
                 seen_filters = catalog.read_bloom(up_to_round=round_id - 1)
 
         t0 = time.monotonic()
+        clock = _StageClock(round_id)
         # ---- stage 1: schedule (robots + J1 seen anti-join + politeness) ---
         # seen is filtered BEFORE the per-host budget so budget slots never
         # go to already-seen URLs (otherwise a frontier whose top-k per host
@@ -147,6 +170,8 @@ def crawl(
             )
             catalog.write_round(new_filters, "seen_bloom", round_id)
 
+        clock.lap("schedule+seen+bloom")
+
         # ---- stage 2: fetch+parse ONCE -> the durable interleaved-docs
         # table (the input_hint payload). Every downstream consumer reads
         # the stored parquet — no giant in-memory cache of span structs,
@@ -157,6 +182,8 @@ def crawl(
         pages = fetch_and_parse(to_fetch, world, extra_cols=["queue_pos"])
         catalog.write_round(pages, "documents", round_id)
         docs = catalog.read_round("documents", round_id)
+
+        clock.lap("fetch+parse+write-documents")
 
         # ---- stage 3: cascade + seqgen + stats (narrow array exprs) -------
         mentions, page_stats, page_arrays = run_cascade(docs)
@@ -169,6 +196,8 @@ def crawl(
             "page_stats",
             round_id,
         )
+
+        clock.lap("cascade->mentions+page_stats")
 
         # attribution reads the stored mentions parquet back — the cascade
         # plan runs exactly once per round (J7)
@@ -194,6 +223,8 @@ def crawl(
         )
         catalog.write_round(new_products, "products", round_id)
 
+        clock.lap("attribution+products")
+
         # ---- stage 4: next frontier (O2/O3 + J2) ---------------------------
         next_frontier = build_next_frontier(
             docs, scheduled, seen, cfg.max_depth, round_id, cfg.frontier_cap,
@@ -202,6 +233,8 @@ def crawl(
         if cfg.politeness_budget is not None:
             next_frontier = merge_deferred(next_frontier, _deferred, seen)
         catalog.write_round(next_frontier, "frontier", round_id + 1)
+
+        clock.lap("next-frontier")
 
         # lineage LAST = the commit marker (A7 metrics, north-rule set).
         # documents has exactly one row per scheduled URL, so one agg job
@@ -231,6 +264,7 @@ def crawl(
             schema=schemas.LINEAGE,
         )
         catalog.write_round(lineage_row, "lineage", round_id)
+        clock.lap("counts+lineage")
 
         # MERGE-equivalent compaction AFTER the commit marker: rewrite the
         # monotonically-growing state tables' round dirs into one so the
