@@ -723,8 +723,9 @@ def _q_ann_lsh(spark, sf_dir):
     idx_path = _os.path.join(
         "/tmp/ann_index", _hl.md5(sf_dir.encode()).hexdigest()[:12]
     )
-    if not _os.path.exists(_os.path.join(idx_path, "_SUCCESS")):
-        SIM.write_lsh_index(emb, idx_path, dims=len(qv), planes=8)
+    # always rebuilt: a stale index from an older signature scheme must
+    # never leak into the correctness gate (cheap at gate scale)
+    SIM.write_lsh_index(emb, idx_path, dims=len(qv), planes=8)
     top = SIM.lsh_topk_indexed(
         spark, idx_path, qv, dims=len(qv), k=10, planes=8, multi_probe=1
     )

@@ -28,6 +28,7 @@ from typing import Optional
 from urllib.parse import urljoin, urlparse
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -178,13 +179,20 @@ def fetch_and_parse(
         ]
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # mapInArrow, not mapInPandas: the heavy outputs are three
+        # list<string> columns, and building them as pyarrow arrays
+        # directly from the kernel's Python lists skips the pandas
+        # object-dtype round trip (measurably cheaper per batch)
+        str_list = pa.list_(pa.string())
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            hosts = batch.column("host").to_pylist()
             kinds_c: list[Optional[list]] = []
             texts_c: list[Optional[list]] = []
             refs_c: list[Optional[list]] = []
             status: list[str] = []
-            for url, host in zip(pdf["url"], pdf["host"]):
+            for url, host in zip(urls, hosts):
                 html = world.fetch(url)
                 if html is None:
                     status.append("failed")
@@ -197,15 +205,19 @@ def fetch_and_parse(
                     kinds_c.append(k)
                     texts_c.append(t)
                     refs_c.append(r)
-            out = pdf.copy()
-            out["status"] = status
-            out["doc_id"] = pdf["url"]
-            out["_kinds"] = kinds_c
-            out["_texts"] = texts_c
-            out["_refs"] = refs_c
-            yield out[raw_cols]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in cols]
+                + [
+                    pa.array(status, pa.string()),
+                    batch.column("url"),  # doc_id
+                    pa.array(kinds_c, str_list),
+                    pa.array(texts_c, str_list),
+                    pa.array(refs_c, str_list),
+                ],
+                raw_cols,
+            )
 
-    raw = inp.mapInPandas(gen, schema=raw_schema)
+    raw = inp.mapInArrow(gen, schema=raw_schema)
     # struct zip + dense offsets, JVM-side (cheap; keeps the Arrow transfer
     # to primitive lists)
     zipped = F.zip_with(
