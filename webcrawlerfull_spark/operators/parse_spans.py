@@ -32,7 +32,13 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from webcrawlerfull_spark import config as C
 from webcrawlerfull_spark import schemas
@@ -148,7 +154,10 @@ def parse_spans_udf(
 
 
 def fetch_and_parse(
-    frontier: DataFrame, world: World, extra_cols: list[str] | None = None
+    frontier: DataFrame,
+    world: World,
+    extra_cols: list[str] | None = None,
+    materialize_spans: bool = True,
 ) -> DataFrame:
     """S1/S2+H1 — the fetch+parse stage over a scheduled frontier slice.
 
@@ -167,30 +176,41 @@ def fetch_and_parse(
     extra_cols = extra_cols or []
     cols = ["url", "host", "domain", "depth", "priority", "discovery_seq"] + extra_cols
     inp = frontier.select(*cols)
-    raw_cols = cols + ["status", "doc_id", "_kinds", "_texts", "_refs"]
+    raw_cols = cols + [
+        "status", "doc_id", "kinds", "texts", "refs", "_lk", "_lr", "_lo",
+    ]
     raw_schema = StructType(
         [inp.schema[c] for c in cols]
         + [
             StructField("status", StringType()),
             StructField("doc_id", StringType()),
-            StructField("_kinds", ArrayType(StringType())),
-            StructField("_texts", ArrayType(StringType())),
-            StructField("_refs", ArrayType(StringType())),
+            StructField("kinds", ArrayType(StringType())),
+            StructField("texts", ArrayType(StringType())),
+            StructField("refs", ArrayType(StringType())),
+            StructField("_lk", ArrayType(StringType())),
+            StructField("_lr", ArrayType(StringType())),
+            StructField("_lo", ArrayType(IntegerType())),
         ]
     )
 
     def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        # mapInArrow, not mapInPandas: the heavy outputs are three
-        # list<string> columns, and building them as pyarrow arrays
-        # directly from the kernel's Python lists skips the pandas
-        # object-dtype round trip (measurably cheaper per batch)
+        # mapInArrow, not mapInPandas: the heavy outputs are list<string>
+        # columns, and building them as pa.array from the kernel's lists
+        # skips the pandas object-dtype round trip (measurably cheaper).
+        # The slim link subset (kind/ref/offset of anchors only, ~1/3 of
+        # spans and ~1/20 of the bytes) is pre-extracted here so the JVM
+        # never builds per-span structs on the hot path.
         str_list = pa.list_(pa.string())
+        int_list = pa.list_(pa.int32())
         for batch in batches:
             urls = batch.column("url").to_pylist()
             hosts = batch.column("host").to_pylist()
             kinds_c: list[Optional[list]] = []
             texts_c: list[Optional[list]] = []
             refs_c: list[Optional[list]] = []
+            lk_c: list[Optional[list]] = []
+            lr_c: list[Optional[list]] = []
+            lo_c: list[Optional[list]] = []
             status: list[str] = []
             for url, host in zip(urls, hosts):
                 html = world.fetch(url)
@@ -199,12 +219,24 @@ def fetch_and_parse(
                     kinds_c.append(None)
                     texts_c.append(None)
                     refs_c.append(None)
+                    lk_c.append(None)
+                    lr_c.append(None)
+                    lo_c.append(None)
                 else:
                     status.append("ok")
                     k, t, r = spans_columns(html, url, host)
                     kinds_c.append(k)
                     texts_c.append(t)
                     refs_c.append(r)
+                    lk, lr, lo = [], [], []
+                    for i, kind in enumerate(k):
+                        if kind != "text" and kind != "media":
+                            lk.append(kind)
+                            lr.append(r[i])
+                            lo.append(i)
+                    lk_c.append(lk)
+                    lr_c.append(lr)
+                    lo_c.append(lo)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(c) for c in cols]
                 + [
@@ -213,40 +245,58 @@ def fetch_and_parse(
                     pa.array(kinds_c, str_list),
                     pa.array(texts_c, str_list),
                     pa.array(refs_c, str_list),
+                    pa.array(lk_c, str_list),
+                    pa.array(lr_c, str_list),
+                    pa.array(lo_c, int_list),
                 ],
                 raw_cols,
             )
 
     raw = inp.mapInArrow(gen, schema=raw_schema)
-    # struct zip + dense offsets, JVM-side (cheap; keeps the Arrow transfer
-    # to primitive lists)
+    link_spans = F.when(
+        F.col("status") == "ok",
+        F.transform(
+            F.arrays_zip(F.col("_lk"), F.col("_lr"), F.col("_lo")),
+            lambda z: F.struct(
+                z["_lk"].alias("kind"),
+                z["_lr"].alias("media_ref"),
+                z["_lo"].alias("offset"),
+            ),
+        ),
+    )
+    with_links = raw.withColumn("link_spans", link_spans).drop(
+        "_lk", "_lr", "_lo"
+    )
+    if not materialize_spans:
+        # lazy layout (the crawl's hot path): the interleaved spans stay
+        # as three primitive arrays — parquet's layout for array<struct>
+        # is the same shredded columns, but the JVM skips building one
+        # struct per span before the write. spans_view() reconstructs the
+        # input_hint shape on read.
+        return with_links
+    return spans_view(with_links)
+
+
+def spans_view(documents: DataFrame) -> DataFrame:
+    """(… kinds, texts, refs …) -> the input_hint ``spans`` column
+    (array<struct<kind,text,media_ref,offset>>), dropping the primitives.
+    Pure column expressions — applied lazily over the stored layout."""
     zipped = F.zip_with(
-        F.arrays_zip(F.col("_kinds"), F.col("_texts"), F.col("_refs")),
-        F.sequence(F.lit(0), F.size("_kinds") - 1),
+        F.arrays_zip(F.col("kinds"), F.col("texts"), F.col("refs")),
+        F.sequence(F.lit(0), F.size("kinds") - 1),
         lambda z, i: F.struct(
-            z["_kinds"].alias("kind"),
-            z["_texts"].alias("text"),
-            z["_refs"].alias("media_ref"),
+            z["kinds"].alias("kind"),
+            z["texts"].alias("text"),
+            z["refs"].alias("media_ref"),
             i.cast("int").alias("offset"),
         ),
     )
     spans = F.when(
-        (F.col("status") == "ok") & (F.size("_kinds") > 0), zipped
+        (F.col("status") == "ok") & (F.size("kinds") > 0), zipped
     ).otherwise(
         F.when(F.col("status") == "ok", F.array().cast(ArrayType(schemas.SPAN)))
     )
-    with_spans = raw.withColumn("spans", spans).drop("_kinds", "_texts", "_refs")
-    link_spans = F.transform(
-        F.filter(
-            F.col("spans"), lambda s: s["kind"].isin("link", "pagination")
-        ),
-        lambda s: F.struct(
-            s["kind"].alias("kind"),
-            s["media_ref"].alias("media_ref"),
-            s["offset"].alias("offset"),
-        ),
-    )
-    return with_spans.withColumn("link_spans", link_spans)
+    return documents.withColumn("spans", spans).drop("kinds", "texts", "refs")
 
 
 # ---- native views over the spans table (zero Python from here on) --------

@@ -179,7 +179,14 @@ def crawl(
         to_fetch = scheduled.repartition(
             cfg.shuffle_partitions, F.xxhash64("url")
         )
-        pages = fetch_and_parse(to_fetch, world, extra_cols=["queue_pos"])
+        # lazy spans layout: the stored documents table keeps the span
+        # columns as primitive arrays (kinds/texts/refs) + the slim
+        # link_spans; parse_spans.spans_view() reconstructs the
+        # input_hint spans struct for downstream document consumers —
+        # the crawl itself only ever reads link_spans
+        pages = fetch_and_parse(
+            to_fetch, world, extra_cols=["queue_pos"], materialize_spans=False
+        )
         catalog.write_round(pages, "documents", round_id)
         docs = catalog.read_round("documents", round_id)
 
