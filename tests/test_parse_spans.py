@@ -76,3 +76,55 @@ def test_external_links_never_pagination(spark, world):
     html = '<a href="https://other.example.net/page/2">next page</a>'
     spans = spans_of(html, "https://h.example.com", "h.example.com")
     assert spans[0]["kind"] == "link"
+
+
+def test_lazy_layout_spans_view_equals_eager(spark, world):
+    """The crawl's lazy documents layout (primitive arrays + slim
+    link_spans) must reconstruct, via spans_view, exactly the spans the
+    eager path materializes — and the pre-extracted link_spans must equal
+    the eager derivation."""
+    from webcrawlerfull_spark.operators.parse_spans import (
+        fetch_and_parse,
+        spans_view,
+    )
+
+    seeds = world.seeds()[:4]
+    frontier = spark.createDataFrame(
+        [
+            {
+                "url": s,
+                "host": urlparse(s).netloc,
+                "domain": s,
+                "depth": 0,
+                "priority": 1,
+                "discovery_seq": i,
+                "queue_pos": i,
+            }
+            for i, s in enumerate(seeds)
+        ]
+    )
+    eager = fetch_and_parse(frontier, world, extra_cols=["queue_pos"])
+    lazy = fetch_and_parse(
+        frontier, world, extra_cols=["queue_pos"], materialize_spans=False
+    )
+
+    def snap(df):
+        return {
+            r["doc_id"]: (
+                [tuple(s) for s in (r["spans"] or [])],
+                [tuple(s) for s in (r["link_spans"] or [])],
+                r["status"],
+            )
+            for r in df.select("doc_id", "spans", "link_spans", "status").collect()
+        }
+
+    got_eager = snap(eager)
+    got_lazy = snap(spans_view(lazy))
+    assert got_eager == got_lazy and len(got_eager) == len(seeds)
+    # round-trips through parquet (the stored layout) unchanged
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        lazy.write.parquet(tmp + "/docs")
+        stored = spark.read.parquet(tmp + "/docs")
+        assert snap(spans_view(stored)) == got_eager
