@@ -605,6 +605,21 @@ _ES = ", ".join(f"'{w}'" for w in T.ES_STOPWORDS)
 _DE = ", ".join(f"'{w}'" for w in T.DE_STOPWORDS)
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting: whitespace count vs pre-tokenizer count,
+    plus an md5 over the joined token stream so the oracle verifies the
+    exact tokens, not just how many."""
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = T.bpe_ish_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("|", toks)).alias("bpe_fp"),
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     _register(spark, sf_dir)
     docs = spark.table("documents")
@@ -1006,6 +1021,7 @@ def _byte_val_sql(hexcol: str, i: int) -> str:
 
 def _extra_queries():
     return {
+        "doc_bpe_tokens": _q_bpe_tokens,
         "doc_lang_id": _q_lang_id,
         "doc_quality_score": _q_quality,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
@@ -1029,7 +1045,18 @@ def _extra_oracles():
         "list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))"
     )
+    bpe_pat = T.BPE_ISH_PATTERN.replace("'", "''")
     return {
+        "doc_bpe_tokens": f"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS n_ws_tokens,
+                   len(regexp_extract_all(text, '{bpe_pat}', 0))
+                     AS n_bpe_tokens,
+                   md5(array_to_string(
+                     regexp_extract_all(text, '{bpe_pat}', 0), '|')) AS bpe_fp
+            FROM documents
+        """,
         "doc_lang_id": f"""
             WITH hits AS (
               SELECT doc_id,

@@ -28,6 +28,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩ RE2
+# common subset (no lookahead): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, whitespace runs. Public knowledge
+# (the published GPT-2 BPE split regex, lookahead dropped).
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-style pre-tokenization (the unit a byte-pair encoder would
+    merge within) as a native column expression — the token-counting
+    convention for LLM-training token budgets, vs the whitespace count
+    above."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
 def stopword_hits(text: Column, stopwords: list[str]) -> Column:
     toks = F.transform(tokens(F.lower(text)), lambda t: t)
     arr = F.array(*[F.lit(s) for s in stopwords])
