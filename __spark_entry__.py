@@ -620,6 +620,19 @@ def _q_bpe_tokens(spark, sf_dir):
     )
 
 
+def _q_winnow_fp(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints: count + set hash per doc,
+    and the overlap property is what dedup consumers join on."""
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    fps = T.winnow_fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.md5(F.concat_ws("|", fps)).alias("fp_set_hash"),
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     _register(spark, sf_dir)
     docs = spark.table("documents")
@@ -1022,6 +1035,7 @@ def _byte_val_sql(hexcol: str, i: int) -> str:
 def _extra_queries():
     return {
         "doc_bpe_tokens": _q_bpe_tokens,
+        "doc_winnow_fingerprints": _q_winnow_fp,
         "doc_lang_id": _q_lang_id,
         "doc_quality_score": _q_quality,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
@@ -1047,6 +1061,29 @@ def _extra_oracles():
     )
     bpe_pat = T.BPE_ISH_PATTERN.replace("'", "''")
     return {
+        "doc_winnow_fingerprints": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(length(t) - 7, 1) + 1),
+                       i -> md5(substring(t, i, 8))) AS hs
+              FROM norm),
+            mins AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(hs) - 15, 1) + 1),
+                       j -> list_min(hs[j:j+15])) AS m
+              FROM grams),
+            fps AS (
+              SELECT doc_id, list_sort(list_distinct(m)) AS f FROM mins)
+            SELECT doc_id, len(f) AS n_fp,
+                   md5(array_to_string(f, '|')) AS fp_set_hash
+            FROM fps
+        """,
         "doc_bpe_tokens": f"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+'))

@@ -92,3 +92,26 @@ def quality_score(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Whitespace-normalized lowercase md5 — the exact-dedup key."""
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 16) -> Column:
+    """Winnowing document fingerprints (the rolling-hash family,
+    Schleimer/Wilkerson/Aiken's public algorithm): hash every character
+    k-gram, keep the minimum of each w-length window, distinct + sorted.
+    Two documents sharing a sufficiently long substring share a
+    fingerprint, so overlap detection is a set intersection — unlike the
+    whole-document ``fingerprint`` above, partial plagiarism/quotation
+    is visible. Expressed as native array expressions (md5 per k-gram;
+    the O(n·w) window-min is fine at oracle scale — a 100 TB run swaps
+    in an Arrow UDF doing the true O(n) rolling scan, same output)."""
+    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substr(t, i, F.lit(k)))
+    )
+    n_windows = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))
