@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "g1_seqgen",
     "doc_fingerprint_dedup",
     "events_tumbling_agg",
+    "ann_lsh_topk",
 ]
 
 
