@@ -727,9 +727,12 @@ def crawl_ops_oracles() -> dict:
               FROM base),
             absd AS (
               SELECT page_id, seq,
-                CASE WHEN regexp_matches(href, '^[a-z]+://') THEN href
-                     ELSE regexp_extract(page_url, '^([a-z]+://[^/?#]*)', 1)
-                          || href END AS aurl
+                CASE WHEN href LIKE '/%'
+                       THEN regexp_replace(page_url, '/$', '') || href
+                     WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                       THEN href
+                     ELSE regexp_replace(page_url, '/+$', '') || '/'
+                          || regexp_replace(href, '^/+', '') END AS aurl
               FROM hrefs),
             firsts AS (
               SELECT page_id, aurl, MIN(seq) AS ms FROM absd GROUP BY 1, 2)

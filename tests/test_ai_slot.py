@@ -40,17 +40,44 @@ def _pages(spark, anchors_by_page):
     )
 
 
+def _process_urls_reference(urls, base_url):
+    """Verbatim reimplementation of BaseAIParser._process_urls
+    (ai_parser_langchain.py:109-128) — the parity oracle."""
+    processed, seen = [], set()
+    for url in urls:
+        if url.startswith("/"):
+            base = base_url[:-1] if base_url.endswith("/") else base_url
+            absolute_url = f"{base}{url}"
+        elif not (url.startswith("http://") or url.startswith("https://")):
+            absolute_url = f"{base_url.rstrip('/')}/{url.lstrip('/')}"
+        else:
+            absolute_url = url
+        if absolute_url not in seen:
+            seen.add(absolute_url)
+            processed.append(absolute_url)
+    return processed
+
+
 def test_absolutize_and_dedup(spark):
-    df = spark.createDataFrame(
-        [(["/a", "https://h.com/b", "/a", "https://x.org/a"],)], ["urls"]
-    )
-    out = df.select(
-        ai_slot.absolutize_and_dedup(
-            F.col("urls"), F.lit("https://h.com/page?x=1")
-        ).alias("o")
-    ).first()["o"]
-    # first-occurrence order preserved; relative resolved against the root
-    assert out == ["https://h.com/a", "https://h.com/b", "https://x.org/a"]
+    cases = [
+        # '/'-prefixed resolves against the FULL page URL incl. path
+        (["/x"], "https://h/cat/c3"),
+        (["/x"], "https://h/cat/c3/"),
+        # no-leading-slash relative gets exactly one separator
+        (["detail/1"], "https://h.com"),
+        (["detail/1"], "https://h.com///"),
+        # mixed: dedup keeps first occurrence, order preserved
+        (
+            ["/a", "https://h.com/b", "/a", "https://x.org/a", "ftp://x/y"],
+            "https://h.com/page?x=1",
+        ),
+    ]
+    for urls, base in cases:
+        df = spark.createDataFrame([(urls,)], "urls array<string>")
+        out = df.select(
+            ai_slot.absolutize_and_dedup(F.col("urls"), F.lit(base)).alias("o")
+        ).first()["o"]
+        assert out == _process_urls_reference(urls, base), (urls, base)
 
 
 def test_truncate_html(spark):
@@ -95,13 +122,15 @@ def test_cascade_ai_rank(spark):
         for r in mentions.collect()
         if r["parser"] == "ai"
     }
-    # page 0 got ai mentions (absolutized relative + absolute non-product)
+    # page 0 got ai mentions (absolutized relative + absolute non-product);
+    # the '/'-relative resolves against the FULL page URL (/cat/c0) per
+    # _process_urls semantics
     ai_urls = sorted(
         r["url"] for r in mentions.collect()
         if r["parser"] == "ai" and r["queue_pos"] == 0
     )
     assert ai_urls == [
-        f"{host0}/buy-now",
+        f"{host0}/cat/c0/buy-now",
         f"{host0}/detail-page",
     ]
     # page 1 early-exited: no ai mentions despite a /detail anchor

@@ -34,18 +34,32 @@ def truncate_html(html: Column, n: int = AI_HTML_TRUNCATE) -> Column:
 
 
 def absolutize_and_dedup(urls: Column, base_url: Column) -> Column:
-    """P10 — ``_process_urls``: absolutize each returned URL against the
-    page URL, dedup preserving first occurrence (``array_distinct`` keeps
-    the first copy). Handles the absolute and root-relative forms an LLM
-    emits from page content; full RFC 3986 reference resolution lives in
-    the parse UDF (P2)."""
-    root = F.regexp_extract(base_url, r"^([a-z]+://[^/?#]*)", 1)
-    return F.array_distinct(
-        F.transform(
-            urls,
-            lambda u: F.when(u.rlike(r"^[a-z]+://"), u).otherwise(F.concat(root, u)),
+    """P10 — ``_process_urls`` exactly (ai_parser_langchain.py:109-128).
+    NOT RFC 3986 resolution (that lives in the parse UDF, P2) — the
+    reference's own three-branch rule, reproduced branch for branch:
+
+    - href starting with '/': appended to the FULL page URL with exactly
+      one trailing '/' stripped first — ``'https://h/cat/c3' + '/x' ->
+      'https://h/cat/c3/x'`` (the page path is kept, unlike urljoin)
+    - href not starting with http:// or https://: ``base_url.rstrip('/')
+      + '/' + href.lstrip('/')``
+    - otherwise (http/https absolute): passed through
+
+    Dedup preserves FIRST occurrence (``array_distinct`` keeps the first
+    copy)."""
+    base_one = F.regexp_replace(base_url, r"/$", "")   # base_url[:-1] iff trailing '/'
+    base_all = F.regexp_replace(base_url, r"/+$", "")  # base_url.rstrip('/')
+
+    def _abs(u):
+        return (
+            F.when(u.startswith("/"), F.concat(base_one, u))
+            .when(u.startswith("http://") | u.startswith("https://"), u)
+            .otherwise(
+                F.concat(base_all, F.lit("/"), F.regexp_replace(u, r"^/+", ""))
+            )
         )
-    )
+
+    return F.array_distinct(F.transform(urls, _abs))
 
 
 def fake_ai_candidates(link_spans: Column, page_url: Column) -> Column:
