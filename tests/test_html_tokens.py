@@ -34,6 +34,17 @@ EDGE_CASES = [
     "text<br>more<hr/>even more",
     '<a href="/a">one</a><a href="/b">two</a>',
     "<title>t @ h</title><h1>H</h1>",
+    # img nested in an anchor: media event emitted BEFORE the anchor event
+    '<a href="/x"><img src="/t.png">thumb</a>',
+    '<a href="/x"><img src="/a.png"><img src="/b.png"></a>tail',
+    '<a href="/x">pre<img src="/i.png"/>post</a>',
+    "<a href='/x'><IMG SRC='/caps.png'>txt</a>",
+    '<a href="/x"><img alt="no src">only alt</a>',
+    # script inside an anchor: its content is CDATA-skipped, and an img
+    # inside it emits nothing
+    '<a href="/x"><script>var s = "<img src=/no.png>";</script>cap</a>',
+    '<a href="/x"><style>a{}</style>styled</a>',
+    'loose<img src="/k.png">then<a href="/y"><b><img src="/n.png"></b>deep</a>',
 ]
 
 

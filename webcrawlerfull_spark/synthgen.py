@@ -249,10 +249,16 @@ class World:
                 href = params["product_path"](pid)
                 if i % 3 == 2:
                     href += "?utm_source=home&ref=cat"  # tracking params
-                a(href, f"Product {pid}")
-                para(35)  # per-product blurb
                 if i % 2 == 0:
-                    parts.append(f'<img src="/img/thumb-{pid}.jpg">')
+                    # thumbnail WRAPPED IN the product link (the ubiquitous
+                    # real-HTML shape): the media event precedes the anchor
+                    parts.append(
+                        f'<a href="{href}"><img src="/img/thumb-{pid}.jpg">'
+                        f"Product {pid}</a>"
+                    )
+                else:
+                    a(href, f"Product {pid}")
+                para(35)  # per-product blurb
             parts.append(f"<p>Showing page {page} of category {cat}.</p>")
             if page < params["pag_pages"]:
                 a(f"/category/c{cat}?page={page + 1}", "Next »")
