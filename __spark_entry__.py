@@ -687,7 +687,8 @@ def _q_simhash(spark, sf_dir):
 def _q_simhash_pairs(spark, sf_dir):
     corpus = _near_dup_corpus(spark, sf_dir)
     return TD.simhash_hamming_pairs(
-        corpus, "doc_id", "text", max_distance=3, bands=4
+        corpus, "doc_id", "text", max_distance=3, bands=4,
+        pre_dedup=True, max_bucket=500,
     )
 
 
@@ -719,7 +720,7 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
     corpus = emb.unionByName(mutated)
     return SIM.cosine_near_dup_pairs(
-        corpus, dims=dims, threshold=0.9, planes=6
+        corpus, dims=dims, threshold=0.9, planes=6, max_bucket=500
     )
 
 
@@ -910,7 +911,11 @@ def _simhash64_sql(source_sql: str = "SELECT doc_id, text FROM documents") -> st
     """
 
 
-def _simhash_pairs_sql(max_distance: int = 3, bands: int = 4) -> str:
+def _simhash_pairs_sql(
+    max_distance: int = 3, bands: int = 4, max_bucket: int = 500
+) -> str:
+    """Mirrors simhash_hamming_pairs incl. the skew hardening: exact-dup
+    pre-collapse to the min-id representative + band-bucket cap."""
     width = (64 // bands) // 4
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band_id, "
@@ -923,14 +928,33 @@ def _simhash_pairs_sql(max_distance: int = 3, bands: int = 4) -> str:
         f"bit_count(xor({nib_a.format(pos=n + 1)}, {nib_b.format(pos=n + 1)}))"
         for n in range(16)
     )
+    dedup_corpus = f"""
+        sp_corpus0 AS ({_NEAR_DUP_SQL}),
+        sp_fps AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+          FROM sp_corpus0),
+        sp_reps AS (SELECT fp, MIN(doc_id) AS doc_id FROM sp_fps GROUP BY 1),
+        dedup_corpus AS (
+          SELECT c.* FROM sp_corpus0 c
+          WHERE EXISTS (SELECT 1 FROM sp_reps r WHERE r.doc_id = c.doc_id))
+    """
     return f"""
-        WITH sigbase AS ({_simhash64_sql(_NEAR_DUP_SQL)}),
+        WITH {dedup_corpus},
+        sigbase AS ({_simhash64_sql("SELECT doc_id, text FROM dedup_corpus")}),
         sigs AS (SELECT doc_id, simhash FROM sigbase),
         stacked AS ({band_rows}),
+        bsize AS (
+          SELECT band_id, band_val, COUNT(*) AS n
+          FROM stacked GROUP BY 1, 2),
+        kept AS (
+          SELECT s.* FROM stacked s JOIN bsize z
+            ON s.band_id = z.band_id AND s.band_val = z.band_val
+          WHERE z.n <= {max_bucket}),
         cands AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                  a.simhash AS sig_a, b.simhash AS sig_b
-          FROM stacked a JOIN stacked b
+          FROM kept a JOIN kept b
             ON a.band_id = b.band_id AND a.band_val = b.band_val
           WHERE a.doc_id < b.doc_id)
         SELECT id_a, id_b, CAST(({ham}) AS BIGINT) AS hamming
@@ -1138,10 +1162,14 @@ def _extra_oracles():
             sigs AS (
               SELECT vec_id, e, {_lsh_sig_sql("e", 64, planes=6)} AS sig
               FROM corpus),
+            bsize AS (SELECT sig, COUNT(*) AS n FROM sigs GROUP BY 1),
+            kept AS (
+              SELECT s.* FROM sigs s JOIN bsize z ON s.sig = z.sig
+              WHERE z.n <= 500),
             pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      round(list_cosine_similarity(a.e, b.e), 4) AS cosine
-              FROM sigs a JOIN sigs b ON a.sig = b.sig
+              FROM kept a JOIN kept b ON a.sig = b.sig
               WHERE a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
         """,

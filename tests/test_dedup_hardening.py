@@ -49,6 +49,83 @@ def test_minhash_bucket_cap_bounds_join(spark):
     assert pairs_uncapped >= 50 * 49 / 2
 
 
+def test_minhash_content_free_docs_emit_no_bands(spark):
+    """Null/empty/whitespace docs get a NULL signature — without it every
+    content-free doc shares one placeholder signature and the band join
+    emits pairs of unrelated near-empty documents."""
+    rows = [
+        (1, ""), (2, None), (3, "   "),
+        (4, "real content words here today"), (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # pre_dedup off + no cap: the old behavior would pair (1,2),(1,3)...
+    pairs = TD.minhash_candidate_pairs(
+        docs, pre_dedup=False, max_bucket=None
+    ).collect()
+    assert pairs == []
+
+
+def test_simhash_pre_dedup_kills_quadratic_group(spark):
+    """Same adversarial corpus as the minhash test: the 300-identical-doc
+    group must collapse to one representative, not emit 300²/2 pairs."""
+    corpus = _skewed_corpus(spark)
+    # the 10-token boilerplate sits at Hamming 12 from its one-word-added
+    # near-dup (short docs flip many bits per token)
+    pairs = TD.simhash_hamming_pairs(corpus, max_distance=14, bands=16).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert len(pairs) <= 4, pairs
+    assert all(i in (0, 10_001, 10_002) for i in ids)
+    assert any({r["id_a"], r["id_b"]} == {0, 10_001} for r in pairs)
+
+
+def test_simhash_bucket_cap_bounds_join(spark):
+    corpus = _skewed_corpus(spark, n_identical=50)
+    capped = TD.simhash_hamming_pairs(
+        corpus, max_distance=6, bands=8, pre_dedup=False, max_bucket=10
+    ).count()
+    uncapped = TD.simhash_hamming_pairs(
+        corpus, max_distance=6, bands=8, pre_dedup=False, max_bucket=None
+    ).count()
+    assert uncapped >= 50 * 49 / 2     # identical docs share every band
+    assert capped < 50 * 49 / 2 / 10   # over-cap buckets excluded
+
+
+def test_cosine_pairs_degenerate_bucket_cap(spark):
+    """300 zero vectors all sign identically (one degenerate LSH bucket);
+    the cap excludes that bucket while the true near-dup pair, living in
+    a small bucket, is still found."""
+    from webcrawlerfull_spark.operators import similarity as SIM
+
+    base = [1.0, 0.5, 0.25, 2.0, 0.1, 0.3, 0.7, 1.5]  # sig 000110 != 000000
+    rows = [(i, [0.0] * 8) for i in range(300)]
+    rows += [(10_001, base), (10_002, [base[0] + 0.001] + base[1:])]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    capped = SIM.cosine_near_dup_pairs(
+        emb, dims=8, threshold=0.9, planes=6, max_bucket=50
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (10_001, 10_002) in got
+    assert all(a >= 10_000 and b >= 10_000 for a, b in got)
+    # shape check at tiny n: without the cap the degenerate bucket alone
+    # forces ~300²/2 cosine evaluations (threshold -1 surfaces them all)
+    uncapped_all = SIM.cosine_near_dup_pairs(
+        emb, dims=8, threshold=-1.0, planes=6, max_bucket=None
+    ).count()
+    capped_all = SIM.cosine_near_dup_pairs(
+        emb, dims=8, threshold=-1.0, planes=6, max_bucket=50
+    ).count()
+    assert uncapped_all >= 300 * 299 / 2
+    assert capped_all <= 10
+
+
+def test_planes_for_scaling():
+    from webcrawlerfull_spark.operators.similarity import planes_for
+
+    assert planes_for(1_000, 1024) == 4          # floor
+    assert planes_for(1_000_000, 1024) == 10
+    assert planes_for(10 ** 9, 1024) == 20
+
+
 def test_simhash64_near_dup_distance(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog and runs away fast"),

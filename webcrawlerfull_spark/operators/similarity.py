@@ -159,6 +159,16 @@ def lsh_topk_indexed(
     return cosine_topk(idx, query_vec, k, id_col, vec_col)
 
 
+def planes_for(n: int, target_bucket: int = 1024) -> int:
+    """Corpus-scaled plane count: 2^planes buckets sized so the expected
+    bucket holds ~``target_bucket`` vectors (planes ≈ log2(n/target)).
+    At n=10^9 / target 1024 → 20 planes; the fixed demo default of 8
+    planes (256 buckets) is only right up to ~10^5-10^6 vectors."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2, n) / target_bucket)))
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     dims: int,
@@ -166,12 +176,25 @@ def cosine_near_dup_pairs(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed (never
     all-pairs): candidates share a hyperplane signature — near-identical
     vectors almost surely do — then exact cosine filters at ``threshold``.
-    The self-join is on the signature, so work is Σ bucket² not n²."""
+    The self-join is on the signature, so work is Σ bucket² not n².
+
+    Skew hardening: ``planes`` must GROW with the corpus
+    (``planes_for(n)``) or Σ bucket² degenerates to ~n²/2^planes, and a
+    degenerate bucket — zero/near-zero vectors all signing identically —
+    pins one task regardless of planes. ``max_bucket`` excludes
+    over-cap signatures from pair generation (same contract as
+    ``textdedup.minhash_candidate_pairs``: callers route oversized
+    buckets to a sampling/exact path), bounding any task at
+    max_bucket² cosine evaluations."""
     sigs = lsh_index(embeddings, dims, planes, id_col, vec_col)
+    if max_bucket is not None:
+        sizes = sigs.groupBy("sig").agg(F.count("*").alias("_n"))
+        sigs = sigs.join(sizes, "sig").where(F.col("_n") <= max_bucket).drop("_n")
     a = sigs.select(
         "sig", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )

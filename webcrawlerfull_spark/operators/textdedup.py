@@ -58,10 +58,16 @@ def minhash_signature(text_col, k: int = DEFAULT_K):
     least(). K separate array_min(transform(...)) passes each materialize
     a full intermediate array — at K=64 that allocation dominated the
     stage (~30x slower than this fold). 'g' sorts above every hex char,
-    so it is +inf for lowercase-hex min."""
+    so it is +inf for lowercase-hex min.
+
+    Content-free documents (null/empty/whitespace text) get a NULL
+    signature: they have no shingle evidence, and a shared placeholder
+    signature would band every empty doc together and emit candidate
+    pairs of unrelated near-empty documents (lsh_bands drops NULL
+    signatures)."""
     sh = shingles(text_col)
     inf = F.array_repeat(F.lit("g"), k)
-    return F.aggregate(
+    folded = F.aggregate(
         sh,
         inf,
         lambda acc, s: F.zip_with(
@@ -70,6 +76,8 @@ def minhash_signature(text_col, k: int = DEFAULT_K):
             lambda a, b: F.least(a, b),
         ),
     )
+    has_content = F.coalesce(F.trim(text_col) != "", F.lit(False))
+    return F.when(has_content, folded)
 
 
 def lsh_bands(
@@ -80,14 +88,23 @@ def lsh_bands(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """(id, band_id, band_hash) — docs sharing any (band_id, band_hash)
-    are near-dup candidates."""
+    are near-dup candidates. Content-free docs (NULL signature) emit no
+    bands. The signature is projected ONCE and the band hashes derive
+    from the projected column, so the K-hash fold runs once per doc, not
+    once per band."""
     r = k // bands
-    sig = minhash_signature(F.col(text_col), k)
+    with_sig = docs.select(
+        F.col(id_col), minhash_signature(F.col(text_col), k).alias("_sig")
+    ).where(F.col("_sig").isNotNull())
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.element_at(sig, b * r + i + 1) for i in range(r)]))
+        F.md5(
+            F.concat_ws(
+                "|", *[F.element_at(F.col("_sig"), b * r + i + 1) for i in range(r)]
+            )
+        )
         for b in range(bands)
     ]
-    wide = docs.select(
+    wide = with_sig.select(
         F.col(id_col),
         *[c.alias(f"_b{b}") for b, c in enumerate(band_cols)],
     )
@@ -250,13 +267,30 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     max_distance: int = 3,
     bands: int = 4,
+    pre_dedup: bool = True,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit simhash within a Hamming ball: candidate
     generation is BANDED (pigeonhole: distance ≤ bands-1 guarantees at
     least one of ``bands`` equal 16-bit slices — the classic
     permute-and-block shape, so the self-join is on band equality, never
-    all-pairs), then exact Hamming verify on candidates only."""
+    all-pairs), then exact Hamming verify on candidates only.
+
+    Skew hardening — the same two quadratic failure modes
+    ``minhash_candidate_pairs`` guards against apply here, and WORSE: an
+    exact-dup group shares ALL ``bands`` band values, so g identical
+    boilerplate docs alone emit g²/2 candidate pairs per band:
+    - ``pre_dedup``: collapse exact duplicates to their min-id
+      representative first (exact dups belong to ``exact_dedup``)
+    - ``max_bucket``: band values whose bucket exceeds the cap are
+      excluded from pair generation, bounding any task's join work at
+      max_bucket² regardless of corpus skew (degenerate case: every
+      empty doc simhashes to all-zero and shares every band)."""
     assert max_distance < bands, "pigeonhole needs max_distance < bands"
+    if pre_dedup:
+        fps = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+        reps = fps.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        docs = docs.join(reps.select(id_col), id_col, "left_semi")
     sigs = simhash64_df(docs, id_col, text_col)
     width = (64 // bands) // 4  # hex chars per band
     stacked = sigs.select(
@@ -276,6 +310,15 @@ def simhash_hamming_pairs(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    if max_bucket is not None:
+        sizes = stacked.groupBy("band_id", "band_val").agg(
+            F.count("*").alias("_n")
+        )
+        stacked = (
+            stacked.join(sizes, ["band_id", "band_val"])
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     left = stacked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
         "band_id", "band_val",
