@@ -19,6 +19,15 @@ def test_parse_robots_sections(spark):
         ("d", "# hi\nUser-Agent: *\nAllow: /x\ndisallow: /Cart"),
         ("e", "User-agent: other\nDisallow: /everything"),
         ("f", ""),
+        # RFC 9309 grouping: consecutive UA lines form ONE group header
+        ("g", "User-agent: *\nUser-agent: googlebot\nDisallow: /x"),
+        ("h", "User-agent: googlebot\nUser-agent: *\nDisallow: /y"),
+        # a rule line ends the header run: the second UA starts a NEW group
+        ("i", "User-agent: *\nDisallow: /a\nUser-agent: googlebot\nDisallow: /b"),
+        # blank lines / comments do not split a header run
+        ("j", "User-agent: googlebot\n\n# note\nUser-agent: *\nDisallow: /z"),
+        # Allow is unimplemented but still terminates the header run
+        ("k", "User-agent: *\nAllow: /ok\nUser-agent: bot\nDisallow: /w"),
     ]
     df = spark.createDataFrame(txts, ["host", "robots_txt"])
     got = {
@@ -32,6 +41,11 @@ def test_parse_robots_sections(spark):
         "d": ["/Cart"],
         "e": [],
         "f": [],
+        "g": ["/x"],
+        "h": ["/y"],
+        "i": ["/a"],
+        "j": ["/z"],
+        "k": [],
     }
 
 

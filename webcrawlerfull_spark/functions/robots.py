@@ -17,24 +17,41 @@ from pyspark.sql import functions as F
 
 
 def disallow_prefixes(robots_txt: Column) -> Column:
-    """array<string> of Disallow path prefixes from the ``*`` sections."""
+    """array<string> of Disallow path prefixes that apply to ``*``.
+
+    Grouping follows RFC 9309: CONSECUTIVE ``User-agent`` lines form one
+    group header (``User-agent: *\\nUser-agent: googlebot\\nDisallow: /x``
+    applies /x to ``*``), so a UA line only resets group membership when
+    it STARTS a new header (the previous meaningful line was not a UA
+    line). Blank lines and ``#`` comments are insignificant — they never
+    split a header run. ``Allow`` lines are deliberately NOT implemented
+    (this engine only needs prefix gating; an Allow line still terminates
+    a header run like any other rule line), and non-group lines such as
+    ``Sitemap:`` are ignored."""
     lines = F.split(robots_txt, "\n")
     init = F.struct(
         F.lit(False).alias("active"),
+        F.lit(False).alias("in_ua"),  # previous meaningful line was a UA line
         F.array().cast("array<string>").alias("prefixes"),
     )
 
     def step(acc, raw):
         line = F.trim(raw)
         low = F.lower(line)
-        ua = F.when(
-            low.startswith("user-agent:"),
-            F.trim(F.substring(line, 12, 10_000)) == "*",
-        )
+        is_ua = low.startswith("user-agent:")
+        is_star = F.trim(F.substring(line, 12, 10_000)) == "*"
+        is_skip = (line == "") | line.startswith("#")
         value = F.trim(F.substring(line, 10, 10_000))  # after 'disallow:'
         is_dis = low.startswith("disallow:") & acc["active"] & (value != "")
+        active = F.when(
+            is_ua, (acc["in_ua"] & acc["active"]) | is_star
+        ).otherwise(acc["active"])
+        in_ua = F.when(is_ua, F.lit(True)).otherwise(
+            F.when(is_skip, acc["in_ua"]).otherwise(F.lit(False))
+        )
         return F.struct(
-            F.coalesce(ua, acc["active"]).alias("active"),
+            active.alias("active"),
+            in_ua.alias("in_ua"),
             F.when(
                 is_dis, F.array_append(acc["prefixes"], value)
             ).otherwise(acc["prefixes"]).alias("prefixes"),
