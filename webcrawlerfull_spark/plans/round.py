@@ -139,13 +139,35 @@ def merge_deferred(
     next_frontier: DataFrame, deferred: DataFrame, seen: DataFrame
 ) -> DataFrame:
     """Scale mode: deferred frontier rows carry over; new discoveries that
-    duplicate a deferred row are dropped (the deferred row is older)."""
+    duplicate a deferred row are dropped (the deferred row is older).
+
+    queue_pos assignment is WINDOW-FREE: in budgeted mode the deferred
+    set for a hot domain grows by up to (cap − budget) per round, so a
+    ``Window.partitionBy(domain)`` re-rank would sort an ever-growing
+    hot-domain slice in one task on a long crawl. Instead deferred rows
+    KEEP the rank they were assigned when first queued (stable, already
+    unique per domain) and fresh rows — at most frontier_cap per domain,
+    already densely ranked by build_next_frontier — are offset past the
+    per-domain deferred max (one cheap partial aggregate, no sort). The
+    result is unique per domain and orders every older row before every
+    newer one; within each generation the original (priority,
+    discovery_seq) order is preserved. Scheduling order is unaffected:
+    politeness_schedule orders by (depth, priority, discovery_seq), not
+    queue_pos."""
     deferred = deferred.join(seen.select("url"), "url", "left_anti")
     fresh = next_frontier.join(deferred.select("url"), "url", "left_anti")
     cols = [
         "url", "host", "domain", "depth", "priority",
         "discovery_seq", "salt_bucket", "round", "queue_pos",
     ]
-    merged = deferred.select(*cols).unionByName(fresh.select(*cols))
-    w = Window.partitionBy("domain").orderBy("depth", "priority", "discovery_seq")
-    return merged.withColumn("queue_pos", F.row_number().over(w) - 1)
+    offsets = deferred.groupBy("domain").agg(
+        (F.max("queue_pos") + 1).alias("_off")
+    )
+    fresh = (
+        fresh.join(offsets, "domain", "left")
+        .withColumn(
+            "queue_pos", F.col("queue_pos") + F.coalesce(F.col("_off"), F.lit(0))
+        )
+        .drop("_off")
+    )
+    return deferred.select(*cols).unionByName(fresh.select(*cols))

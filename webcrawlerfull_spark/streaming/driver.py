@@ -44,6 +44,21 @@ from webcrawlerfull_spark.sources.catalog import Catalog
 from webcrawlerfull_spark.synthgen import World
 
 
+def round_partitions(frontier_size: int, cfg: CrawlConfig) -> tuple[int, int]:
+    """(shuffle_parts, fetch_parts) for one round, sized to its frontier.
+    Discovered-link rows explode ~10-50x past the frontier, so the
+    shuffle target divides by ``shuffle_rows_per_task`` only after a 20x
+    fan-out allowance; both are clamped to [1, shuffle_partitions]."""
+    if not cfg.adaptive_partitions or frontier_size <= 0:
+        return cfg.shuffle_partitions, cfg.shuffle_partitions
+    cap = cfg.shuffle_partitions
+    fetch = max(1, min(cap, -(-frontier_size // cfg.fetch_rows_per_task)))
+    shuffle = max(
+        1, min(cap, -(-frontier_size * 20 // cfg.shuffle_rows_per_task))
+    )
+    return shuffle, fetch
+
+
 @dataclass
 class CrawlResult:
     products: DataFrame      # (task_id, domain, url, parser, depth, round)
@@ -100,6 +115,10 @@ def crawl(
             return _result(spark, catalog, rounds_run=0)
 
     rounds_run = 0
+    # the per-round adaptive setting below mutates the SESSION conf;
+    # restore the caller's value on exit so later queries on the same
+    # session keep their profile
+    saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     # seen cardinality is tracked incrementally (scheduled sets are
     # disjoint across rounds by construction) — resuming rebuilds the
     # running total from committed lineage instead of re-counting state
@@ -112,6 +131,27 @@ def crawl(
     # in parity mode one round == one reference depth, bounded by max_depth;
     # with a politeness budget the frontier drains over more rounds
     hard_stop = cfg.max_depth if cfg.politeness_budget is None else 10_000
+    try:
+        return _run_rounds(
+            spark, cfg, world, catalog, robots, max_rounds, round_id,
+            rounds_run, seen_total, hard_stop,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
+
+
+def _run_rounds(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    world: World,
+    catalog: Catalog,
+    robots: DataFrame | None,
+    max_rounds: int | None,
+    round_id: int,
+    rounds_run: int,
+    seen_total: int,
+    hard_stop: int,
+) -> CrawlResult:
     while round_id < hard_stop:
         if max_rounds is not None and rounds_run >= max_rounds:
             break
@@ -119,6 +159,10 @@ def crawl(
         frontier_size = frontier.count()
         if frontier_size == 0:
             break
+        # adaptive per-round partitioning: a 600-row round 0 must not run
+        # every one of its ~10 jobs at 32 shuffle partitions
+        n_shuffle, n_fetch = round_partitions(frontier_size, cfg)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
         seen = catalog.read_all("seen", up_to_round=round_id - 1) or _empty_seen(spark)
         seen_filters = None
         if cfg.use_bloom and round_id > 0:
@@ -176,9 +220,7 @@ def crawl(
         # table (the input_hint payload). Every downstream consumer reads
         # the stored parquet — no giant in-memory cache of span structs,
         # no re-fetch.
-        to_fetch = scheduled.repartition(
-            cfg.shuffle_partitions, F.xxhash64("url")
-        )
+        to_fetch = scheduled.repartition(n_fetch, F.xxhash64("url"))
         # lazy spans layout: the stored documents table keeps the span
         # columns as primitive arrays (kinds/texts/refs) + the slim
         # link_spans; parse_spans.spans_view() reconstructs the
