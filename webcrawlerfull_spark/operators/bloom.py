@@ -17,7 +17,14 @@ buckets, each a byte blob row ``(bucket_id, filter_bytes)``:
   true-seen + false-positive slice (fpp-bounded)
 
 In-bucket hashing is double hashing over two independent 64-bit values
-from blake2b(url) — Python-side only (never compared with JVM hashes).
+computed JVM-SIDE (``xxhash64(url, seed)`` with two seeds, whole-stage
+codegen) and shipped to the kernel as int64 columns — the Python side is
+pure numpy array arithmetic over the whole Arrow batch: build the (n, k)
+probe-position matrix in one shot, then a single scatter
+(``bitwise_or.at``) or gather (fancy-index + all(axis=1)). No per-URL
+Python loop, no Python-side hashing. Probe-position arithmetic wraps mod
+2^64 (uint64), which is a valid double-hash family as long as set and
+test share it — both derive from ``_positions``.
 
 Equivalence with the exact path is pytest-verified on the small world;
 no-false-negative is property-tested.
@@ -26,7 +33,6 @@ no-false-negative is property-tested.
 from __future__ import annotations
 
 import math
-from hashlib import blake2b
 
 import numpy as np
 import pandas as pd
@@ -55,6 +61,11 @@ PROBE_SCHEMA = StructType(
     ]
 )
 
+# xxhash64 seeds for the two independent in-bucket hash streams (any two
+# distinct constants work; 0 is reserved for the bucket-routing hash)
+_SEED_H1 = 0x51ED
+_SEED_H2 = 0xB100
+
 
 def _params(capacity: int, fpp: float) -> tuple[int, int]:
     """(m bits, k hashes) for a target capacity/false-positive rate."""
@@ -64,30 +75,42 @@ def _params(capacity: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
-def _hashes(url: str) -> tuple[int, int]:
-    d = blake2b(url.encode("utf-8", "surrogatepass"), digest_size=16).digest()
-    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
-
-
-def _set_bits(bits: np.ndarray, urls, m: int, k: int) -> None:
-    for u in urls:
-        h1, h2 = _hashes(u)
-        for i in range(k):
-            pos = (h1 + i * h2) % m
-            bits[pos >> 3] |= 1 << (pos & 7)
-
-
-def _test_bits(bits: np.ndarray, url: str, m: int, k: int) -> bool:
-    h1, h2 = _hashes(url)
-    for i in range(k):
-        pos = (h1 + i * h2) % m
-        if not (bits[pos >> 3] >> (pos & 7)) & 1:
-            return False
-    return True
-
-
 def bucket_col(url_col, buckets: int):
     return F.pmod(F.xxhash64(url_col), F.lit(buckets)).cast("int")
+
+
+def _hash_cols(df: DataFrame, url_col: str, buckets: int) -> DataFrame:
+    """url + bucket_id + the two in-bucket hash streams, all JVM-side."""
+    u = F.col(url_col)
+    return df.select(
+        u.alias("url"),
+        bucket_col(u, buckets).alias("bucket_id"),
+        F.xxhash64(u, F.lit(_SEED_H1)).alias("h1"),
+        F.xxhash64(u, F.lit(_SEED_H2)).bitwiseOR(F.lit(1)).alias("h2"),
+    )
+
+
+def _positions(h1, h2, m: int, k: int) -> np.ndarray:
+    """(n, k) uint64 probe positions: (h1 + i*h2) mod 2^64 mod m.
+    Shared by set and test so wrap semantics can never diverge."""
+    a = np.asarray(h1, dtype=np.int64).astype(np.uint64)
+    b = np.asarray(h2, dtype=np.int64).astype(np.uint64)
+    i = np.arange(k, dtype=np.uint64)
+    return (a[:, None] + i[None, :] * b[:, None]) % np.uint64(m)
+
+
+def _set_bits(bits: np.ndarray, h1, h2, m: int, k: int) -> None:
+    pos = _positions(h1, h2, m, k)
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64).ravel()
+    masks = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).ravel()
+    np.bitwise_or.at(bits, byte_idx, masks)  # unbuffered: dup indices OK
+
+
+def _test_bits(bits: np.ndarray, h1, h2, m: int, k: int) -> np.ndarray:
+    pos = _positions(h1, h2, m, k)
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+    bit = (pos & np.uint64(7)).astype(np.uint8)
+    return (((bits[byte_idx] >> bit) & 1) == 1).all(axis=1)
 
 
 def update_filters(
@@ -106,9 +129,7 @@ def update_filters(
     touches 5 of 64 buckets writes 5 rows, not the whole state)."""
     m, k = _params(capacity, fpp)
     spark = new_urls.sparkSession
-    new_b = new_urls.select(
-        F.col(url_col).alias("url"), bucket_col(F.col(url_col), buckets).alias("bucket_id")
-    )
+    new_b = _hash_cols(new_urls, url_col, buckets)
     if old_filters is None:
         old_filters = spark.createDataFrame([], schema=FILTERS_SCHEMA)
 
@@ -127,7 +148,7 @@ def update_filters(
             bits = np.frombuffer(filt_pdf["filter_bytes"].iloc[0], dtype=np.uint8).copy()
         else:
             bits = np.zeros(m // 8, dtype=np.uint8)
-        _set_bits(bits, urls_pdf["url"], m, k)
+        _set_bits(bits, urls_pdf["h1"], urls_pdf["h2"], m, k)
         return pd.DataFrame(
             {"bucket_id": [bucket_id], "filter_bytes": [bits.tobytes()]}
         )
@@ -155,18 +176,16 @@ def probe(
 ) -> DataFrame:
     """(url, maybe_seen) for every candidate URL — no false negatives."""
     m, k = _params(capacity, fpp)
-    cand = candidates.select(
-        F.col(url_col).alias("url"), bucket_col(F.col(url_col), buckets).alias("bucket_id")
-    )
+    cand = _hash_cols(candidates, url_col, buckets)
 
     def run(key, cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(cand_pdf):
             return pd.DataFrame({"url": [], "maybe_seen": []})
         if len(filt_pdf):
             bits = np.frombuffer(filt_pdf["filter_bytes"].iloc[0], dtype=np.uint8)
-            flags = [_test_bits(bits, u, m, k) for u in cand_pdf["url"]]
+            flags = _test_bits(bits, cand_pdf["h1"], cand_pdf["h2"], m, k)
         else:
-            flags = [False] * len(cand_pdf)
+            flags = np.zeros(len(cand_pdf), dtype=bool)
         return pd.DataFrame({"url": cand_pdf["url"], "maybe_seen": flags})
 
     return (
