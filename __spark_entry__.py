@@ -702,6 +702,31 @@ def _q_jaccard_verify(spark, sf_dir):
     return TD.ngram_jaccard_pairs(corpus, cands, threshold=0.5)
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental cross-round dedup: round A (doc_id < 250) builds the
+    compact state (fingerprints + LSH band set, no text); round B — the
+    remaining docs plus exact copies of A[:100] and last-word-dropped
+    near copies of A[100:200] — is classified against it without
+    rescanning A's text."""
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") < 250)
+    fresh = docs.where(F.col("doc_id") >= 250)
+    exact_copies = a.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    near_copies = (
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+        )
+    )
+    b = fresh.unionByName(exact_copies).unionByName(near_copies)
+    fps, band_set = TD.dedup_state(a, k=16, bands=4)
+    return TD.incremental_dedup(b, fps, band_set, k=16, bands=4)
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucketed: the embeddings plus
     a slightly-perturbed copy of each (first component +0.1) so true
@@ -962,6 +987,82 @@ def _simhash_pairs_sql(
     """
 
 
+def _band_ctes(src: str, p: str, k: int = 16, bands: int = 4) -> str:
+    """tok/shingle/signature/band CTEs (prefix ``p``) over source CTE
+    ``src`` — mirrors minhash_signature + lsh_bands incl. the
+    content-free guard (empty/whitespace docs emit no bands)."""
+    r = k // bands
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '|{j}'))) AS m{j}"
+        for j in range(k)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"m{b * r + i}" for i in range(r)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM {p}banded"
+        for b in range(bands)
+    )
+    return f"""
+        {p}tok AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          FROM {src} WHERE text IS NOT NULL AND trim(text) <> ''),
+        {p}sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM {p}tok),
+        {p}sigs AS (SELECT doc_id, {mh} FROM {p}sh),
+        {p}banded AS (SELECT doc_id, {band_exprs} FROM {p}sigs),
+        {p}stacked AS ({band_rows})
+    """
+
+
+def _incremental_sql(k: int = 16, bands: int = 4) -> str:
+    """Mirrors dedup_state + incremental_dedup over the same two-round
+    construction as _q_dedup_incremental."""
+    return f"""
+        WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        b AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 250
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT doc_id + 3000000, regexp_replace(text, '\\s+\\S+$', '')
+          FROM documents WHERE doc_id >= 100 AND doc_id < 200),
+        state_fp AS (
+          SELECT DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+          FROM a),
+        {_band_ctes('a', 'a_', k, bands)},
+        state_bands AS (SELECT DISTINCT band_id, band_hash FROM a_stacked),
+        b_fp AS (
+          SELECT doc_id, text,
+                 md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+          FROM b),
+        b_rep AS (SELECT fp, MIN(doc_id) AS rep FROM b_fp GROUP BY 1),
+        b_lab AS (
+          SELECT f.doc_id, f.text, f.fp, r.rep,
+                 (f.fp IN (SELECT fp FROM state_fp)) AS in_state
+          FROM b_fp f JOIN b_rep r ON f.fp = r.fp),
+        surv AS (
+          SELECT doc_id, text FROM b_lab
+          WHERE NOT (doc_id <> rep OR in_state)),
+        {_band_ctes('surv', 's_', k, bands)},
+        near AS (
+          SELECT DISTINCT s.doc_id FROM s_stacked s
+          JOIN state_bands z
+            ON s.band_id = z.band_id AND s.band_hash = z.band_hash)
+        SELECT doc_id,
+               CASE WHEN doc_id <> rep OR in_state THEN 'exact_dup'
+                    WHEN doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                    ELSE 'kept' END AS status
+        FROM b_lab
+    """
+
+
 def _minhash_ctes(k: int = 64, bands: int = 16, max_bucket: int = 500) -> str:
     r = k // bands
     mh = ", ".join(
@@ -1063,6 +1164,7 @@ def _extra_queries():
         "doc_lang_id": _q_lang_id,
         "doc_quality_score": _q_quality,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_jaccard_verify": _q_jaccard_verify,
@@ -1148,6 +1250,7 @@ def _extra_oracles():
             FROM base
         """,
         "dedup_minhash_lsh_pairs": _minhash_sql(),
+        "dedup_incremental": _incremental_sql(),
         "dedup_simhash": _simhash64_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_jaccard_verify": _jaccard_sql(),

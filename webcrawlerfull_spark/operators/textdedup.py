@@ -169,6 +169,95 @@ def minhash_candidate_pairs(
     )
 
 
+def dedup_state(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """The COMPACT cross-round dedup state for ``incremental_dedup``:
+    (fingerprints(fp), band_set(band_id, band_hash)) — the MinHash
+    analogue of the bloom seen-state. Carries NO text: a round's state is
+    ~16 bytes (fp) + ``bands`` band hashes per kept doc, so round k+1
+    dedups against it without rescanning any prior round's text."""
+    fps = docs.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    b = (
+        lsh_bands(docs, id_col, text_col, k, bands)
+        .select("band_id", "band_hash")
+        .distinct()
+    )
+    return fps, b
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    state_fps: DataFrame | None,
+    state_bands: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Classify one round's NEW documents against the accumulated dedup
+    state (from ``dedup_state`` over prior kept docs): returns
+    (id, status) with status ∈ {exact_dup, near_dup, kept}:
+
+    - ``exact_dup``: fingerprint already in the state, or a lower-id doc
+      IN THIS BATCH shares the fingerprint (within-batch keep-first)
+    - ``near_dup``: not an exact dup, but shares ≥1 MinHash-LSH band
+      with the state (within-batch near-dups are the batch-mode
+      ``minhash_candidate_pairs``'s job — this operator's contract is
+      new-vs-prior)
+    - ``kept``: neither — these docs' fp/bands join the next state
+
+    Scale shape: everything is semi/left joins on fixed-width hash keys
+    (fp md5, band md5) — the new round's text is scanned once for its
+    own signatures; prior text is never touched. At 10^10 docs the state
+    co-partitions by its hash key, exactly like the bloom bucket state
+    for URLs."""
+    with_fp = docs.select(
+        F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("_fp")
+    )
+    reps = with_fp.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
+    labeled = with_fp.join(reps, "_fp")
+    if state_fps is not None:
+        labeled = labeled.join(
+            state_fps.select(
+                F.col("fp").alias("_fp"), F.lit(True).alias("_in_state")
+            ),
+            "_fp",
+            "left",
+        )
+    else:
+        labeled = labeled.withColumn("_in_state", F.lit(None).cast("boolean"))
+    is_exact = (F.col(id_col) != F.col("_rep")) | F.coalesce(
+        "_in_state", F.lit(False)
+    )
+    labeled = labeled.withColumn("_exact", is_exact)
+    survivors = labeled.where(~F.col("_exact")).select(id_col, text_col)
+    if state_bands is not None:
+        sb = lsh_bands(survivors, id_col, text_col, k, bands)
+        near_ids = (
+            sb.join(state_bands, ["band_id", "band_hash"], "left_semi")
+            .select(F.col(id_col).alias("_nid"))
+            .distinct()
+            .withColumn("_near", F.lit(True))
+        )
+        labeled = labeled.join(
+            near_ids, labeled[id_col] == F.col("_nid"), "left"
+        ).drop("_nid")
+    else:
+        labeled = labeled.withColumn("_near", F.lit(None).cast("boolean"))
+    return labeled.select(
+        F.col(id_col),
+        F.when(F.col("_exact"), F.lit("exact_dup"))
+        .when(F.coalesce("_near", F.lit(False)), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidate_pairs: DataFrame,
