@@ -20,6 +20,7 @@ per-domain cap.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -652,6 +653,52 @@ firsts AS (
 """
 
 
+@functools.lru_cache(maxsize=1)
+def _e2e_expected_lineage_sql() -> str:
+    """Expected per-round lineage for the e2e crawl entry, derived by
+    running the VENDORED reference crawler (pure Python, deterministic)
+    over the identical fixed world and aggregating its instrumentation:
+    frontier size entering each depth, scheduled (=fetched) count,
+    parse failures, and per-depth first-touch product attribution."""
+    from webcrawlerfull_spark.oracle import refcrawler as rc
+    from webcrawlerfull_spark.synthgen import World
+
+    world = World(seed=11, n_hosts=3, base_pages=30)
+    results = rc.crawl(world, world.seeds(), max_depth=3)
+    rows = []
+    for d in range(3):
+        frontier = sum(
+            r.frontier_sizes[d] if d < len(r.frontier_sizes) else 0
+            for r in results.values()
+        )
+        if frontier == 0:
+            break
+        fetched = sum(
+            sum(1 for dep, _ in r.fetch_schedule if dep == d)
+            for r in results.values()
+        )
+        failed = sum(r.failed_by_depth.get(d, 0) for r in results.values())
+        products = sum(
+            sum(1 for dep in r.first_found_depth.values() if dep == d)
+            for r in results.values()
+        )
+        rows.append((d, frontier, fetched, fetched - failed, products))
+        if fetched == 0:
+            break
+    values = ", ".join(
+        f"({r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]})" for r in rows
+    )
+    return f"""
+        SELECT CAST(round AS INTEGER) AS round,
+               CAST(frontier_size AS BIGINT) AS frontier_size,
+               CAST(fetched AS BIGINT) AS fetched,
+               CAST(parsed AS BIGINT) AS parsed,
+               CAST(products AS BIGINT) AS products
+        FROM (VALUES {values})
+             AS t(round, frontier_size, fetched, parsed, products)
+    """
+
+
 def crawl_ops_oracles() -> dict:
     cascade_full = f"WITH {_SPANS_CTE}, {_CASCADE_CTE}"
     return {
@@ -672,8 +719,12 @@ def crawl_ops_oracles() -> dict:
             FROM corpus
             CROSS JOIN (SELECT 'json' AS fmt UNION ALL SELECT 'csv') f
         """,
-        # crawl_e2e_lineage: rows-only by design (BFS crawl is not
-        # SQL-expressible; pytest parity is the equality check)
+        # crawl_e2e_lineage: the BFS crawl itself is not SQL-expressible,
+        # so the oracle is the VENDORED REFERENCE CRAWLER's expected
+        # per-round lineage for the same fixed world, computed in pure
+        # Python (deterministic) and embedded as a VALUES literal —
+        # making the e2e row fully hash-checkable instead of rows-only
+        "crawl_e2e_lineage": _e2e_expected_lineage_sql(),
         # expected spans derived from the HTML's construction: text node
         # with the entity unescaped; anchor resolved per href shape
         # (root-relative / absolute-external / pagination path / query-

@@ -43,6 +43,14 @@ class DomainResult:
     products: set[str] = field(default_factory=set)
     first_found_by: dict[str, str] = field(default_factory=dict)
     parser_stats: dict[str, dict] = field(default_factory=dict)
+    # instrumentation (records WHEN the existing attribution/loop state
+    # happened — no behavioral change): frontier size entering each
+    # depth, per-url depth of first product attribution, per-depth
+    # parse-failure counts. Used to derive the expected per-round
+    # lineage the engine's e2e entry is hash-checked against.
+    frontier_sizes: list[int] = field(default_factory=list)
+    first_found_depth: dict[str, int] = field(default_factory=dict)
+    failed_by_depth: dict[int, int] = field(default_factory=dict)
 
 
 def crawl_domain(world: World, domain: str, max_depth: int) -> DomainResult:
@@ -58,6 +66,7 @@ def crawl_domain(world: World, domain: str, max_depth: int) -> DomainResult:
     current_depth = 0
 
     while current_depth < max_depth and urls_to_visit:
+        res.frontier_sizes.append(len(urls_to_visit))
         next_depth_urls: list[str] = []
         batch_size = 10
         for i in range(0, len(urls_to_visit), batch_size):
@@ -70,6 +79,9 @@ def crawl_domain(world: World, domain: str, max_depth: int) -> DomainResult:
                 if html is None:
                     # important-URL retry (tasks.py:594-601) is deterministic
                     # here: same result, give up
+                    res.failed_by_depth[current_depth] = (
+                        res.failed_by_depth.get(current_depth, 0) + 1
+                    )
                     continue
                 # --- parser cascade (tasks.py:607-633) ---
                 product_urls: set[str] = set()
@@ -80,6 +92,7 @@ def crawl_domain(world: World, domain: str, max_depth: int) -> DomainResult:
                         parser_stats[parser_name]["domains"].add(domain_netloc)
                         for found in urls:
                             url_first_found_by.setdefault(found, parser_name)
+                            res.first_found_depth.setdefault(found, current_depth)
                         product_urls.update(urls)
                         if len(product_urls) >= C.CASCADE_EARLY_EXIT:
                             break
@@ -93,6 +106,7 @@ def crawl_domain(world: World, domain: str, max_depth: int) -> DomainResult:
                             parser_stats["sequential"]["domains"].add(domain_netloc)
                             for found in seq:
                                 url_first_found_by.setdefault(found, "sequential")
+                                res.first_found_depth.setdefault(found, current_depth)
                             domain_product_urls.update(seq)
                 # --- next-depth discovery (tasks.py:639-643,491-493) ---
                 if current_depth < max_depth - 1:
