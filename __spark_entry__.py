@@ -541,14 +541,24 @@ def oracle_sql() -> dict[str, str]:
 
         "s12_simplify_domain": f"""
             WITH corpus AS ({S12_CORPUS_SQL})
-            SELECT CASE CAST(seq % 8 AS INT)
+            SELECT CASE CAST(seq % 12 AS INT)
                 WHEN 0 THEN 'example_co_uk'
                 WHEN 1 THEN 'store' || CAST(seq % 5 AS INT) || '_com_au'
-                WHEN 2 THEN 'example_nagoya_jp'
+                -- *.nagoya.jp wildcard: example.nagoya.jp is the suffix
+                WHEN 2 THEN 'foo_example_nagoya_jp'
                 WHEN 3 THEN 'example_com'
                 WHEN 4 THEN 'example_org'
                 WHEN 5 THEN 'example_gob_mx'
                 WHEN 6 THEN 'myshop_co_in'
+                -- !www.ck exception: suffix ck, registered www
+                WHEN 7 THEN 'www_ck'
+                -- *.ck wildcard: b.ck is the suffix
+                WHEN 8 THEN 'foo_b_ck'
+                -- !city.kawasaki.jp exception
+                WHEN 9 THEN 'city_kawasaki_jp'
+                -- PRIVATE suffix github.io: NOT public under tldextract's
+                -- default (ICANN-only), so the key is github_io
+                WHEN 10 THEN 'github_io'
                 ELSE 'example_com'
               END AS domain_key,
               COUNT(*) AS n
@@ -813,7 +823,7 @@ def _q_frame_sample(spark, sf_dir):
 S12_CORPUS_SQL = """
 SELECT p_partkey AS seq,
   'https://' ||
-    CASE CAST(p_partkey % 8 AS INT)
+    CASE CAST(p_partkey % 12 AS INT)
       WHEN 0 THEN 'shop.Example.co.uk'
       WHEN 1 THEN 'www.store' || CAST(p_partkey % 5 AS INT) || '.com.au'
       WHEN 2 THEN 'foo.example.nagoya.jp'
@@ -821,6 +831,10 @@ SELECT p_partkey AS seq,
       WHEN 4 THEN 'example.org'
       WHEN 5 THEN 'x.example.gob.mx'
       WHEN 6 THEN 'deals.myshop.co.in'
+      WHEN 7 THEN 'store.www.ck'
+      WHEN 8 THEN 'shop.foo.b.ck'
+      WHEN 9 THEN 'sub.city.kawasaki.jp'
+      WHEN 10 THEN 'foo.github.io'
       ELSE 'www.shop' || CAST(p_partkey % 3 AS INT) || '.example.com'
     END || '/p/' || p_partkey AS url
 FROM part

@@ -51,15 +51,74 @@ def test_json_csv_sinks(spark, crawled, tmp_path):
     )
 
 
+def _psl_reference_key(host):
+    """Independent Python implementation of the publicsuffix.org
+    algorithm over the SAME vendored rule tables, with tldextract's
+    output formatting — the parity oracle for the column expression."""
+    from webcrawlerfull_spark import psl
+
+    labels = host.lower().split(".")
+    ps_len = None
+    for e in psl.EXCEPTIONS:  # exception rules win
+        el = e.split(".")
+        if labels[-len(el):] == el:
+            ps_len = len(el) - 1
+            break
+    if ps_len is None:
+        best = 1  # implicit '*' rule: the last label
+        for w in psl.WILDCARD_PARENTS:
+            wl = ["*"] + w.split(".")
+            if len(labels) >= len(wl) and labels[-(len(wl) - 1):] == wl[1:]:
+                best = max(best, len(wl))
+        for s in psl.EXACT_SUFFIXES:
+            sl = s.split(".")
+            if labels[-len(sl):] == sl:
+                best = max(best, len(sl))
+        ps_len = best
+    if len(labels) == 1 and ps_len == 1:
+        # single unlisted label: tldextract yields suffix='', domain=host
+        return f"{labels[0]}.".replace(".", "_")
+    suffix = ".".join(labels[-ps_len:])
+    domain = labels[-(ps_len + 1)] if len(labels) > ps_len else ""
+    return f"{domain}.{suffix}".replace(".", "_")
+
+
 def test_simplify_domain(spark):
     cases = {
         "https://shop.example.co.uk/x": "example_co_uk",
         "https://www.store.example.com/y?a=1": "example_com",
         "https://foo.bar.com.au": "bar_com_au",
         "https://single.io/": "single_io",
+        # wildcard *.ck: any one label under ck is itself a suffix
+        "https://shop.foo.b.ck/": "foo_b_ck",
+        "https://a.b.ck/": "a_b_ck",
+        "https://b.ck/": "_b_ck",
+        # exception !www.ck carves www.ck out of the wildcard
+        "https://www.ck/": "www_ck",
+        "https://store.www.ck/": "www_ck",
+        # jp designated-city wildcards + city.* exceptions
+        "https://shop.foo.kawasaki.jp/": "shop_foo_kawasaki_jp",
+        "https://foo.kawasaki.jp/": "_foo_kawasaki_jp",
+        "https://city.kawasaki.jp/": "city_kawasaki_jp",
+        "https://sub.city.kawasaki.jp/": "city_kawasaki_jp",
+        "https://kawasaki.jp/": "kawasaki_jp",
+        # jp prefecture-level exact rule
+        "https://shop.example.aichi.jp/": "example_aichi_jp",
+        # private-section suffix: NOT public under tldextract's default
+        "https://foo.github.io/": "github_io",
+        # host IS a public suffix
+        "https://co.uk/": "_co_uk",
+        # single unlisted label
+        "https://localhost/": "localhost_",
+        # deep subdomain chains
+        "https://a.b.c.example.gob.mx/": "example_gob_mx",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["url"]).withColumn(
         "key", api.simplify_domain(F.col("url"))
     )
     got = {r["url"]: r["key"] for r in df.collect()}
     assert got == cases
+    # the independent Python PSL-algorithm oracle agrees on every case
+    for url, want in cases.items():
+        host = url.split("/")[2]
+        assert _psl_reference_key(host) == want, host

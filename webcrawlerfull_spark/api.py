@@ -9,8 +9,8 @@ engine entry point is spark-submit).
   (worker/src/db/storage.py:189-225)
 - ``simplify_domain``    ≈ Storage._simplify_domain S12
   (worker/src/db/storage.py:52-65): registered-domain + suffix with '_',
-  via a public-suffix-lite two-label heuristic (tldextract is not in
-  this container; the common two-level suffixes are table-driven)
+  with full PSL rule semantics (exact/wildcard/exception rules, curated
+  ICANN snapshot subset) in webcrawlerfull_spark.psl
 """
 
 from __future__ import annotations
@@ -18,56 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from webcrawlerfull_spark import psl
 from webcrawlerfull_spark.config import CrawlConfig
 from webcrawlerfull_spark.sources.catalog import Catalog
 from webcrawlerfull_spark.streaming.driver import CrawlResult, crawl
 from webcrawlerfull_spark.synthgen import World
-
-# Multi-label public suffixes for the S12 registered-domain split — a
-# curated subset of the Public Suffix List (publicsuffix.org, public
-# data; tldextract ships the full list but is not in this container).
-# Table-driven: extending coverage = adding rows here; the match is
-# longest-suffix-first (two-label entries tried before the one-label
-# fallback). Includes the PSL's geographic jp entries (e.g. nagoya.jp).
-TWO_LEVEL_SUFFIXES = [
-    # uk / au / nz / in / za
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "plc.uk",
-    "ltd.uk", "sch.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
-    "edu.in", "gov.in", "res.in",
-    "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
-    # jp (incl. geographic public suffixes)
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
-    "gr.jp", "lg.jp",
-    "nagoya.jp", "yokohama.jp", "osaka.jp", "kyoto.jp", "sapporo.jp",
-    "sendai.jp", "kobe.jp", "kawasaki.jp", "kitakyushu.jp", "aichi.jp",
-    "hokkaido.jp", "okinawa.jp", "fukuoka.jp", "saitama.jp", "chiba.jp",
-    # kr / tw / hk / sg / th / id / my / ph / vn / cn
-    "co.kr", "or.kr", "ne.kr", "go.kr", "re.kr", "pe.kr", "ac.kr",
-    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
-    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk", "idv.hk",
-    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
-    "co.th", "or.th", "ac.th", "go.th", "in.th",
-    "co.id", "or.id", "net.id", "ac.id", "web.id", "go.id",
-    "com.my", "net.my", "org.my", "edu.my", "gov.my",
-    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    # americas
-    "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    "com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx",
-    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
-    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
-    # europe / middle east
-    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
-    "com.pl", "net.pl", "org.pl", "edu.pl", "waw.pl",
-    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "kiev.ua",
-    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
-    "com.ae", "org.ae", "net.ae", "com.sa", "com.eg",
-]
-
 
 def crawl_domains(
     spark: SparkSession,
@@ -139,19 +94,8 @@ def save_csv(df: DataFrame, path: str) -> None:
 
 def simplify_domain(url: Column) -> Column:
     """S12 — '<registered>_<suffix-with-_>' storage key, e.g.
-    https://shop.example.co.uk/x -> 'example_co_uk'."""
+    https://shop.example.co.uk/x -> 'example_co_uk'. Full PSL rule
+    semantics (exact + wildcard + exception rules, tldextract-parity
+    formatting) live in webcrawlerfull_spark.psl."""
     host = F.lower(F.parse_url(url, F.lit("HOST")))
-    two_level = "|".join(s.replace(".", r"\.") for s in TWO_LEVEL_SUFFIXES)
-    # registered domain = label before the suffix; suffix = 2-level if in
-    # the table else the final label
-    m2 = F.regexp_extract(host, rf"([^.]+)\.({two_level})$", 0)
-    reg2 = F.regexp_extract(host, rf"([^.]+)\.({two_level})$", 1)
-    suf2 = F.regexp_extract(host, rf"([^.]+)\.({two_level})$", 2)
-    reg1 = F.regexp_extract(host, r"([^.]+)\.([^.]+)$", 1)
-    suf1 = F.regexp_extract(host, r"([^.]+)\.([^.]+)$", 2)
-    reg = F.when(m2 != "", reg2).otherwise(reg1)
-    suf = F.when(m2 != "", suf2).otherwise(suf1)
-    return F.when(
-        (reg != "") & (suf != ""),
-        F.concat(reg, F.lit("_"), F.replace(suf, F.lit("."), F.lit("_"))),
-    ).otherwise(F.replace(host, F.lit("."), F.lit("_")))
+    return psl.registered_key(host)
