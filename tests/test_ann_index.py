@@ -52,3 +52,54 @@ def test_lsh_index_multiprobe_recall(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert oneshot == approx
+
+    # planes is recorded in the index metadata: defaults flow from it,
+    # and a conflicting explicit value raises instead of probing with
+    # the wrong signature scheme
+    meta = SIM.read_index_meta(path)
+    assert meta["planes"] == planes and meta["dims"] == dims
+    from_meta = [
+        r["vec_id"]
+        for r in SIM.lsh_topk_indexed(
+            spark, path, qv, k=10, multi_probe=mp
+        ).collect()
+    ]
+    assert from_meta == approx
+    import pytest
+
+    with pytest.raises(ValueError, match="planes"):
+        SIM.lsh_topk_indexed(spark, path, qv, dims=dims, k=10, planes=planes + 1)
+
+
+def test_high_plane_count_recall_clustered(spark, tmp_path):
+    """planes must GROW with the corpus (planes_for): at planes=12 a
+    clustered corpus — the realistic shape; near-uniform vectors are the
+    LSH worst case — still clears the recall bar, because cluster
+    members co-sign. 4000 vectors in 40 tight clusters, query near a
+    cluster center."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dims, n_clusters, per = 32, 40, 100
+    centers = rng.normal(size=(n_clusters, dims))
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.05 * rng.normal(size=(per, dims))
+        for j, p in enumerate(pts):
+            rows.append((c * per + j, [float(x) for x in p]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = SIM.planes_for(len(rows), target_bucket=8)  # -> 9; force 12
+    assert planes >= 8
+    planes = 12
+    path = str(tmp_path / "annidx12")
+    SIM.write_lsh_index(emb, path, dims=dims, planes=planes)
+    qv = [float(x) for x in centers[3] + 0.02 * rng.normal(size=dims)]
+    exact = [r["vec_id"] for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in SIM.lsh_topk_indexed(
+            spark, path, qv, k=10, multi_probe=2
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, (recall, exact, approx)

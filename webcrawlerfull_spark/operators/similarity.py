@@ -135,25 +135,67 @@ def write_lsh_index(
 ) -> None:
     """Persist the index PARTITIONED BY signature: a query then reads
     only its probe buckets (partition pruning — at 100 TB each query
-    scans ~(probes/2^planes) of the corpus instead of all of it)."""
+    scans ~(probes/2^planes) of the corpus instead of all of it).
+
+    ``planes`` is recorded in ``_ann_meta.json`` inside the index dir
+    (underscore-prefixed: parquet readers ignore it) so queries cannot
+    silently probe with a mismatched signature scheme. Size planes to
+    the corpus: planes ≈ log2(n / target_bucket) — ``planes_for()``."""
+    import json
+    import os
+
     lsh_index(embeddings, dims, planes, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("sig").parquet(path)
+    meta = {
+        "planes": planes,
+        "dims": dims,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "guidance": "planes ~= log2(n / target_bucket); see planes_for()",
+    }
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_index_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, "_ann_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def lsh_topk_indexed(
     spark,
     index_path: str,
     query_vec: list[float],
-    dims: int,
+    dims: int | None = None,
     k: int = 10,
-    planes: int = 8,
+    planes: int | None = None,
     multi_probe: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ) -> DataFrame:
     """ANN over the persisted index: partition-pruned read of the
-    multi-probe buckets + exact in-bucket cosine top-k."""
+    multi-probe buckets + exact in-bucket cosine top-k. ``planes`` /
+    ``dims`` / column names default from the index's metadata; passing
+    a conflicting ``planes`` explicitly raises (probing with the wrong
+    signature scheme would silently return garbage)."""
+    meta = read_index_meta(index_path) or {}
+    if planes is None:
+        planes = meta.get("planes", 8)
+    elif meta and planes != meta["planes"]:
+        raise ValueError(
+            f"index at {index_path} was built with planes={meta['planes']}, "
+            f"queried with planes={planes}"
+        )
+    dims = dims if dims is not None else meta.get("dims")
+    id_col = id_col or meta.get("id_col", "vec_id")
+    vec_col = vec_col or meta.get("vec_col", "embedding")
     probes = probe_signatures(query_signature(query_vec, dims, planes), multi_probe)
     idx = spark.read.parquet(index_path).where(F.col("sig").isin(probes))
     return cosine_topk(idx, query_vec, k, id_col, vec_col)
