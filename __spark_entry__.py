@@ -776,6 +776,22 @@ def _q_ann_cosine(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
 
+def _q_ann_batch_topk(spark, sf_dir):
+    """Batch ANN: per-query exact top-5 for 8 query vectors in ONE
+    corpus pass (broadcast query table + per-query window top-k) —
+    the many-query shape that amortizes the corpus scan."""
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    top = SIM.cosine_topk_batch(emb, queries, k=5)
+    return top.select(
+        "q_id", "vec_id", F.round("cosine", 4).alias("cosine_r"), "rank"
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     """Persisted signature-partitioned index + Hamming-1 multi-probe:
     the query reads only its 9 probe partitions (partition pruning)."""
@@ -853,6 +869,33 @@ def _q_simplify_domain(spark, sf_dir):
     )
 
 
+
+
+def _q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation over the documents table in ONE
+    composed plan: language filter (en) → quality threshold (≥0.7) →
+    exact-dedup keep-first → per-source kept-doc / kept-token
+    accounting. The filters fuse into the parquet scan (codegen), the
+    dedup is one hash aggregate + semi-join — the whole pipeline is a
+    single job, not four passes over the corpus."""
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.lang_guess(F.col("text")).alias("lang_g"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    passed = scored.where((F.col("lang_g") == "en") & (F.col("q") >= 0.7))
+    reps = passed.groupBy(T.fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = passed.join(reps.select("doc_id"), "doc_id", "left_semi")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("kept_tokens"),
+    )
 
 
 def _q_events_sessionize(spark, sf_dir):
@@ -1185,9 +1228,11 @@ def _extra_queries():
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_batch_topk": _q_ann_batch_topk,
         "media_feature_extract": _q_media_features,
         "media_frame_sample": _q_frame_sample,
         "s12_simplify_domain": _q_simplify_domain,
+        "curation_pipeline": _q_curation_pipeline,
         "events_sessionize": _q_events_sessionize,
         "tpch_top_orders": _q_tpch_top_orders,
     }
@@ -1263,6 +1308,42 @@ def _extra_oracles():
                      + (CASE WHEN en_hits > 0 THEN 0.3 ELSE 0.0 END), 4) AS quality
             FROM base
         """,
+        "curation_pipeline": f"""
+            WITH scored AS (
+              SELECT doc_id, source, text,
+                     {_lang_hits_sql(_EN)} AS en_hits,
+                     {_lang_hits_sql(_ES)} AS es_hits,
+                     {_lang_hits_sql(_DE)} AS de_hits,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           / greatest(length(text), 1), 4) AS punct_ratio
+              FROM documents),
+            langed AS (
+              SELECT *,
+                     CASE WHEN en_hits >= es_hits AND en_hits >= de_hits
+                               AND en_hits > 0 THEN 'en'
+                          WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                          WHEN de_hits > 0 THEN 'de' ELSE 'unk' END AS lang_g,
+                     round(
+                       (CASE WHEN n_tokens BETWEEN 10 AND 100000
+                             THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END)
+                       + (CASE WHEN en_hits > 0 THEN 0.3 ELSE 0.0 END), 4) AS q
+              FROM scored),
+            passed AS (
+              SELECT * FROM langed WHERE lang_g = 'en' AND q >= 0.7),
+            reps AS (
+              SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+                     MIN(doc_id) AS doc_id
+              FROM passed GROUP BY 1),
+            kept AS (
+              SELECT p.* FROM passed p
+              WHERE EXISTS (SELECT 1 FROM reps r WHERE r.doc_id = p.doc_id))
+            SELECT source, COUNT(*) AS n_kept,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS kept_tokens
+            FROM kept GROUP BY source
+        """,
         "dedup_minhash_lsh_pairs": _minhash_sql(),
         "dedup_incremental": _incremental_sql(),
         "dedup_simhash": _simhash64_sql(),
@@ -1295,6 +1376,24 @@ def _extra_oracles():
             FROM embeddings
             ORDER BY {cos} DESC, vec_id
             LIMIT 10
+        """,
+        "ann_batch_topk": """
+            WITH q AS (
+              SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT q_id, vec_id, cosine,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, vec_id
+                     ) AS "rank"
+              FROM scored)
+            SELECT q_id, vec_id, round(cosine, 4) AS cosine_r, "rank"
+            FROM ranked WHERE "rank" <= 5
         """,
         "ann_lsh_topk": f"""
             WITH q AS (

@@ -71,6 +71,41 @@ def test_lsh_index_multiprobe_recall(spark, sf_dir, tmp_path):
         SIM.lsh_topk_indexed(spark, path, qv, dims=dims, k=10, planes=planes + 1)
 
 
+def test_batch_lsh_agrees_with_per_query(spark, sf_dir):
+    """lsh_topk_batch (one corpus pass, probe-set explode + bucket join)
+    returns exactly what q separate lsh_topk calls return."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dims = len(emb.first()["embedding"])
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    batch = SIM.lsh_topk_batch(emb, queries, dims=dims, k=5, planes=6)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    for qid in range(3):
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        solo = [
+            r["vec_id"]
+            for r in SIM.lsh_topk(
+                emb, qv, dims=dims, k=5, planes=6, multi_probe=1
+            ).collect()
+        ]
+        assert [v for _, v in sorted(got[qid])] == solo, qid
+
+
+def test_probe_array_matches_probe_signatures(spark):
+    df = spark.createDataFrame([("010011",)], ["sig"])
+    got = df.select(
+        SIM.probe_array(F.col("sig"), 6).alias("p")
+    ).first()["p"]
+    assert sorted(got) == SIM.probe_signatures("010011", 1)
+
+
 def test_high_plane_count_recall_clustered(spark, tmp_path):
     """planes must GROW with the corpus (planes_for): at planes=12 a
     clustered corpus — the realistic shape; near-uniform vectors are the

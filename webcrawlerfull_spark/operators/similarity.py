@@ -252,6 +252,99 @@ def cosine_near_dup_pairs(
     )
 
 
+def probe_array(sig_col, planes: int):
+    """Column form of ``probe_signatures`` for multi_probe=1: the exact
+    signature plus each 1-bit flip (planes+1 strings). Native exprs so a
+    BATCH of queries can explode its probe sets without Python."""
+    flips = [
+        F.concat(
+            F.substring(sig_col, 1, i),
+            F.when(F.substring(sig_col, i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring(sig_col, i + 2, planes - i - 1),
+        )
+        for i in range(planes)
+    ]
+    return F.array(sig_col, *flips)
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact per-query top-k for a BATCH of query vectors in ONE pass:
+    broadcast the (small) query table against the corpus and take the
+    per-query window top-k. One corpus scan amortized over all queries —
+    the right exact baseline when scoring q queries, vs q separate
+    ``cosine_topk`` scans. Returns (q_id, vec_id, cosine, rank)."""
+    from pyspark.sql import Window
+
+    joined = embeddings.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def lsh_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """LSH-bucketed batch ANN (multi_probe=1): corpus signatures computed
+    once, each query exploded into its planes+1 probe signatures, probes
+    broadcast-joined to the bucketed corpus, exact cosine only within
+    joined buckets, per-query window top-k. At 100 TB this is the
+    many-query shape: the corpus-side work is one signature pass + a
+    hash join on ``sig`` — each query touches ~(planes+1)/2^planes of
+    the corpus, and no query re-scans it."""
+    from pyspark.sql import Window
+
+    sigs = lsh_index(embeddings, dims, planes, id_col, vec_col)
+    probes = queries.select(
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.explode(
+            probe_array(lsh_signature(F.col(q_vec_col), dims, planes), planes)
+        ).alias("sig"),
+    )
+    cand = sigs.join(F.broadcast(probes), "sig")
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
+    ).dropDuplicates([q_id_col, id_col])
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

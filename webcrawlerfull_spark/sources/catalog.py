@@ -16,9 +16,11 @@ Iceberg note: the north rule calls for Iceberg tables; the
 iceberg-spark-runtime jar is not available in this sandbox (no network),
 so this parquet layout is the documented stand-in — same semantics
 (append-only snapshots keyed by round, atomic-enough commit marker,
-time-travel by round). All writer/reader code is isolated here; pointing
-it at an Iceberg catalog is a this-file-only change
-(``writeTo(...).append()`` + a MERGE for S7).
+time-travel by round). The REAL code path exists below as
+``IcebergCatalog`` (same interface: ``writeTo`` snapshots,
+``overwritePartitions`` round redo, ``MERGE INTO`` upsert) behind the
+``iceberg_available`` feature gate — a constructor swap when the jar
+and a ``spark.sql.catalog.<name>`` are configured.
 """
 
 from __future__ import annotations
@@ -180,3 +182,183 @@ class Catalog:
 
     def destroy(self) -> None:
         shutil.rmtree(self.base, ignore_errors=True)
+
+
+def iceberg_available(spark: SparkSession, catalog_name: str = "local") -> bool:
+    """True iff a Spark catalog named ``catalog_name`` is configured
+    (``spark.sql.catalog.<name>`` — how the Iceberg runtime is wired)."""
+    try:
+        spark.conf.get(f"spark.sql.catalog.{catalog_name}")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergCatalog:
+    """The SAME catalog interface over real Iceberg tables —
+    ``writeTo(...).append()`` snapshots + ``MERGE INTO`` for the S7
+    upsert-union (reference: worker/src/db/storage.py:140-186).
+
+    Feature-flagged: requires the iceberg-spark-runtime jar and a
+    configured catalog (``spark.sql.catalog.<name>`` +
+    ``...extensions=IcebergSparkSessionExtensions``); the jar is NOT in
+    this sandbox (offline), so instantiation raises a clear error here
+    and the parquet ``Catalog`` above is the documented stand-in with
+    identical semantics. The code path exists so that pointing the
+    engine at a real lakehouse is a constructor swap, not a rewrite:
+    round-keyed idempotent redo = DELETE round partition + append;
+    commit marker = the lineage append (atomic in Iceberg); compaction =
+    keep-first rewrite via ``overwritePartitions`` (snapshot-expiry
+    analogue); time-travel by round = the ``_r`` partition column, or
+    Iceberg's own snapshot history.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        namespace: str = "crawl",
+        catalog_name: str = "local",
+    ):
+        if not iceberg_available(spark, catalog_name):
+            raise RuntimeError(
+                f"Iceberg catalog '{catalog_name}' is not configured "
+                f"(spark.sql.catalog.{catalog_name} unset — the "
+                "iceberg-spark-runtime jar is unavailable in this sandbox). "
+                "Use sources.catalog.Catalog (parquet round-dir layout, "
+                "same semantics), or configure the catalog per "
+                "https://iceberg.apache.org/docs/latest/spark-configuration/"
+            )
+        self.spark = spark
+        self.catalog_name = catalog_name
+        self.namespace = namespace
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {catalog_name}.{namespace}"
+        )
+
+    TABLES = Catalog.TABLES
+
+    def _tbl(self, table: str) -> str:
+        return f"{self.catalog_name}.{self.namespace}.{table}"
+
+    def _exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._tbl(table))
+
+    def write_round(self, df: DataFrame, table: str, round_id: int) -> None:
+        t = self._tbl(table)
+        df = df.withColumn("_r", F.lit(round_id))
+        if self._exists(table):
+            # idempotent round redo: replace exactly this round's rows
+            # in one atomic snapshot (dynamic partition overwrite)
+            df.writeTo(t).overwritePartitions()
+        else:
+            df.writeTo(t).partitionedBy(F.col("_r")).create()
+
+    def merge_upsert(self, df: DataFrame, table: str, keys: list[str]) -> None:
+        """The literal S7 MERGE shape: insert rows whose key is absent
+        (reference set-union upsert, storage.py:158-162)."""
+        t = self._tbl(table)
+        df.createOrReplaceTempView("_updates")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.spark.sql(
+            f"MERGE INTO {t} t USING _updates s ON {on} "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def has_round(self, table: str, round_id: int) -> bool:
+        if not self._exists(table):
+            return False
+        return (
+            self.spark.table(self._tbl(table))
+            .where(F.col("_r") == round_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def read_round(self, table: str, round_id: int) -> DataFrame:
+        return (
+            self.spark.table(self._tbl(table))
+            .where(F.col("_r") == round_id)
+            .drop("_r")
+        )
+
+    def committed_rounds(self, table: str) -> list[int]:
+        if not self._exists(table):
+            return []
+        return sorted(
+            r["_r"]
+            for r in self.spark.table(self._tbl(table))
+            .select("_r")
+            .distinct()
+            .collect()
+        )
+
+    def read_all(self, table: str, up_to_round: int | None = None) -> DataFrame | None:
+        if not self._exists(table):
+            return None
+        df = self.spark.table(self._tbl(table))
+        if up_to_round is not None:
+            df = df.where(F.col("_r") <= up_to_round)
+        return df.drop("_r")
+
+    def read_all_with_round(
+        self, table: str, up_to_round: int | None = None
+    ) -> DataFrame | None:
+        if not self._exists(table):
+            return None
+        df = self.spark.table(self._tbl(table)).withColumnRenamed("_r", "r")
+        if up_to_round is not None:
+            df = df.where(F.col("r") <= up_to_round)
+        return df
+
+    def read_bloom(self, up_to_round: int | None = None) -> DataFrame | None:
+        df = self.read_all_with_round("seen_bloom", up_to_round)
+        if df is None:
+            return None
+        w = Window.partitionBy("bucket_id").orderBy(F.col("r").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "r")
+        )
+
+    def compact(
+        self, table: str, up_to: int, dedup_keys: list[str] | None = None
+    ) -> bool:
+        rounds = [r for r in self.committed_rounds(table) if r <= up_to]
+        if len(rounds) <= 1:
+            return False
+        df = self.read_all(table, up_to_round=up_to)
+        if dedup_keys:
+            w = Window.partitionBy(*dedup_keys).orderBy(F.col("round").asc())
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        # one atomic snapshot replaces every round partition <= up_to
+        df.withColumn("_r", F.lit(up_to)).writeTo(
+            self._tbl(table)
+        ).overwritePartitions()
+        self.spark.sql(
+            f"DELETE FROM {self._tbl(table)} WHERE _r < {up_to}"
+        )
+        return True
+
+    def max_committed_round(self) -> int | None:
+        rounds = self.committed_rounds("lineage")
+        return max(rounds) if rounds else None
+
+    def drop_rounds_after(self, round_id: int) -> None:
+        for table in self.TABLES:
+            if not self._exists(table):
+                continue
+            keep = round_id + 1 if table == "frontier" else round_id
+            self.spark.sql(
+                f"DELETE FROM {self._tbl(table)} WHERE _r > {keep}"
+            )
+
+    def destroy(self) -> None:
+        for table in self.TABLES:
+            if self._exists(table):
+                self.spark.sql(f"DROP TABLE {self._tbl(table)}")
