@@ -47,15 +47,19 @@ _MAIN_RE = re.compile(
 )
 _HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 _SRC_RE = re.compile(r"""src\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
-_INNER_TAG_RE = re.compile(r"<[^>]*>")
 # inside an anchor: script/style blocks contribute no text (HTMLParser
 # CDATA skip), and nested <img> tags emit media events BEFORE the anchor
 # event (the reference emits media at start-tag time, the anchor at its
-# close tag) — thumbnail-wrapped-in-link is ubiquitous in product HTML
-_INNER_SKIP_RE = re.compile(
-    r"<(script|style)\b[^>]*>.*?(?:</\1\s*>|$)", re.IGNORECASE | re.DOTALL
+# close tag) — thumbnail-wrapped-in-link is ubiquitous in product HTML.
+# ONE combined scan (img | script/style block | any tag) instead of
+# three passes: the alternation is leftmost-first, so an img inside a
+# script block is consumed by the block branch and emits nothing.
+_INNER_SCAN_RE = re.compile(
+    r"<img(?=[\s/>])([^>]*?)\s*/?>"
+    r"|<(script|style)\b[^>]*>.*?(?:</\2\s*>|$)"
+    r"|<[^>]*>",
+    re.IGNORECASE | re.DOTALL,
 )
-_INNER_IMG_RE = re.compile(r"<img(?=[\s/>])([^>]*?)\s*/?>", re.IGNORECASE | re.DOTALL)
 
 
 def tokenize_fast(html: str) -> list[tuple]:
@@ -77,16 +81,24 @@ def tokenize_fast(html: str) -> list[tuple]:
                 else None
             )
             if "<" in inner:
-                inner = _INNER_SKIP_RE.sub("", inner)
-                for im in _INNER_IMG_RE.finditer(inner):
-                    sm = _SRC_RE.search(im.group(1))
-                    if sm:
-                        src = unescape(
-                            next(g for g in sm.groups() if g is not None)
-                        )
-                        if src:
-                            events.append(("media", src))
-                inner = _INNER_TAG_RE.sub("", inner)
+                parts = []
+                ipos = 0
+                for im in _INNER_SCAN_RE.finditer(inner):
+                    if im.start() > ipos:
+                        parts.append(inner[ipos : im.start()])
+                    ipos = im.end()
+                    if im.group(1) is not None:  # img inside the anchor
+                        sm = _SRC_RE.search(im.group(1))
+                        if sm:
+                            src = unescape(
+                                next(g for g in sm.groups() if g is not None)
+                            )
+                            if src:
+                                events.append(("media", src))
+                    # script/style blocks and other tags: no text
+                if ipos < len(inner):
+                    parts.append(inner[ipos:])
+                inner = "".join(parts)
             events.append(("anchor", href, unescape(inner)))
         elif m.group(3) is not None:  # img
             sm = _SRC_RE.search(m.group(3))
