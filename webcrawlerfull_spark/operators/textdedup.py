@@ -258,6 +258,72 @@ def incremental_dedup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs — the final
+    step of a dedup pipeline (a near-dup CLUSTER keeps one
+    representative, not one survivor per pairwise edge). Returns
+    (node, component) with component = min node id in the cluster.
+
+    Iterative min-label propagation as a driver loop: each iteration
+    joins labels across edges and takes the elementwise min — one
+    shuffle per iteration, converging in O(diameter) rounds (near-dup
+    clusters are shallow: boilerplate stars, chains of revisions —
+    single digits). ``localCheckpoint`` truncates the growing lineage so
+    iteration k does not replay 1..k-1. The loop exits as soon as an
+    iteration changes no label; ``max_iter`` bounds pathological chains
+    (a 10^10-node path graph is not a dedup workload)."""
+    spark = pairs.sparkSession
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias(node_col)).distinct()
+    else:
+        nodes = nodes.select(F.col(node_col))
+    labels = nodes.select(
+        F.col(node_col), F.col(node_col).alias("component")
+    ).localCheckpoint()
+    edges = edges.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col(node_col).alias("src"),
+                    F.col("component").alias("_nc"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias(node_col))
+            .agg(F.min("_nc").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, node_col, "left")
+            .select(
+                F.col(node_col),
+                F.least(
+                    F.col("component"), F.coalesce("_nmin", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("_nmin", F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidate_pairs: DataFrame,
