@@ -122,3 +122,45 @@ def test_simplify_domain(spark):
     for url, want in cases.items():
         host = url.split("/")[2]
         assert _psl_reference_key(host) == want, host
+
+
+def test_simplify_domain_fuzz_vs_python_psl(spark):
+    """Generated-host fuzz: the column expression and the independent
+    Python PSL-algorithm implementation agree on every host assembled
+    from rule fragments (exact/wildcard/exception suffixes under random
+    label stacks) — deterministic seed, ~500 distinct hosts."""
+    import random
+
+    from webcrawlerfull_spark import psl
+
+    rng = random.Random(20260816)
+    parts = ["shop", "www", "a", "b", "city", "foo", "store", "x0"]
+    pool = (
+        psl.EXACT_SUFFIXES[::3]
+        + psl.WILDCARD_PARENTS
+        + psl.EXCEPTIONS
+        + ["com", "io", "dev", "ck", "jp", "uk"]
+    )
+    hosts = set()
+    for _ in range(700):
+        s = rng.choice(pool)
+        stack = rng.choices(parts, k=rng.randrange(0, 3))
+        if rng.random() < 0.85:
+            stack.append(rng.choice(parts))
+        hosts.add(".".join(stack + [s]).lower())
+    hosts = sorted(hosts)
+    df = spark.createDataFrame(
+        [(f"https://{h}/x", h) for h in hosts], ["url", "host"]
+    )
+    got = {
+        r["host"]: r["key"]
+        for r in df.withColumn(
+            "key", api.simplify_domain(F.col("url"))
+        ).collect()
+    }
+    bad = [
+        (h, got[h], _psl_reference_key(h))
+        for h in hosts
+        if got[h] != _psl_reference_key(h)
+    ]
+    assert not bad, bad[:5]
