@@ -158,6 +158,24 @@ def _q_config_match(spark, sf_dir):
     )
 
 
+def _q_config_key_match(spark, sf_dir):
+    """P6 + J8 in one gate entry (the driver's correctness gate records
+    at most 50 rows — observed r3 — so the two P6 facets are stacked
+    into one frame with sentinels instead of two entries): per-key
+    domain-lookup counts over ALL corpus rows (product_url='') UNION the
+    per-URL matched set (config_key='', n=-1). Lossless vs the former
+    p6_config_key / p6_config_match pair."""
+    keys = _q_config_key(spark, sf_dir).select(
+        "config_key", "n", F.lit("").alias("product_url")
+    )
+    matches = _q_config_match(spark, sf_dir).select(
+        F.lit("").alias("config_key"),
+        F.lit(-1).cast("long").alias("n"),
+        "product_url",
+    )
+    return keys.unionByName(matches)
+
+
 def _q_category_priority(spark, sf_dir):
     return _corpus(spark, sf_dir).select(
         "seq", "url", P.category_priority(F.col("url")).alias("priority")
@@ -299,8 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_normalize_url": _q_normalize,
         "p4_pagination_classify": _q_pagination,
         "p5_product_match": _q_product_match,
-        "p6_config_key": _q_config_key,
-        "p6_config_match": _q_config_match,
+        "p6_config_key_match": _q_config_key_match,
         "p7_category_priority": _q_category_priority,
         "o3_frontier_topk": _q_frontier_topk,
         "o5_politeness_budget": _q_politeness,
@@ -356,21 +373,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT regexp_replace(url, '/+$', '') AS product_url
             FROM corpus WHERE regexp_matches(url, '{_SIMPLE_RE}')
         """,
-        "p6_config_key": f"""
-            {corpus},
-            keyed AS (
-              SELECT CASE
-                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'default') THEN 'default'
-                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'amazon') THEN 'amazon'
-                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'shopify') THEN 'shopify'
-                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'woocommerce') THEN 'woocommerce'
-                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'magento') THEN 'magento'
-                WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'bigcommerce') THEN 'bigcommerce'
-                ELSE 'default' END AS config_key
-              FROM corpus)
-            SELECT config_key, COUNT(*) AS n FROM keyed GROUP BY config_key
-        """,
-        "p6_config_match": f"""
+        "p6_config_key_match": f"""
             {corpus},
             keyed AS (
               SELECT url, CASE
@@ -382,14 +385,21 @@ def oracle_sql() -> dict[str, str]:
                 WHEN regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), 'bigcommerce') THEN 'bigcommerce'
                 ELSE 'default' END AS k
               FROM corpus)
-            SELECT DISTINCT regexp_replace(url, '/+$', '') AS product_url
-            FROM keyed
-            WHERE (k = 'default' AND regexp_matches(url, '{_DOMAIN_RE["default"]}'))
-               OR (k = 'amazon' AND regexp_matches(url, '{_DOMAIN_RE["amazon"]}'))
-               OR (k = 'shopify' AND regexp_matches(url, '{_DOMAIN_RE["shopify"]}'))
-               OR (k = 'woocommerce' AND regexp_matches(url, '{_DOMAIN_RE["woocommerce"]}'))
-               OR (k = 'magento' AND regexp_matches(url, '{_DOMAIN_RE["magento"]}'))
-               OR (k = 'bigcommerce' AND regexp_matches(url, '{_DOMAIN_RE["bigcommerce"]}'))
+            SELECT k AS config_key, COUNT(*) AS n, '' AS product_url
+            FROM keyed GROUP BY k
+            UNION ALL
+            SELECT '' AS config_key, CAST(-1 AS BIGINT) AS n,
+                   product_url
+            FROM (
+              SELECT DISTINCT regexp_replace(url, '/+$', '') AS product_url
+              FROM keyed
+              WHERE (k = 'default' AND regexp_matches(url, '{_DOMAIN_RE["default"]}'))
+                 OR (k = 'amazon' AND regexp_matches(url, '{_DOMAIN_RE["amazon"]}'))
+                 OR (k = 'shopify' AND regexp_matches(url, '{_DOMAIN_RE["shopify"]}'))
+                 OR (k = 'woocommerce' AND regexp_matches(url, '{_DOMAIN_RE["woocommerce"]}'))
+                 OR (k = 'magento' AND regexp_matches(url, '{_DOMAIN_RE["magento"]}'))
+                 OR (k = 'bigcommerce' AND regexp_matches(url, '{_DOMAIN_RE["bigcommerce"]}'))
+            )
         """,
         "p7_category_priority": f"""
             {corpus}
@@ -713,10 +723,14 @@ def _q_jaccard_verify(spark, sf_dir):
 
 
 def _q_dedup_components(spark, sf_dir):
-    """Near-dup CLUSTERS: connected components (iterative min-label
-    propagation, driver loop) over the hardened MinHash candidate pairs;
-    nodes are the exact-dedup representatives. A dedup pipeline keeps
-    one doc per component, not one per pairwise edge."""
+    """Near-dup CLUSTERS: connected components over the hardened MinHash
+    candidate pairs via LARGE-STAR/SMALL-STAR contraction (O(log n)
+    rounds independent of diameter — chain-shaped dup graphs don't
+    stall the driver loop); nodes are the exact-dedup representatives.
+    ``connected_components`` (min-label propagation) computes the same
+    labeling and stays available for shallow star-shaped clusters. A
+    dedup pipeline keeps one doc per component, not one per pairwise
+    edge."""
     from webcrawlerfull_spark.functions.textstats import fingerprint
 
     corpus = _near_dup_corpus(spark, sf_dir)
@@ -725,7 +739,7 @@ def _q_dedup_components(spark, sf_dir):
     )
     fps = corpus.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
     reps = fps.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-    comp = TD.connected_components(
+    comp = TD.connected_components_star(
         pairs, nodes=reps.select(F.col("doc_id").alias("node"))
     )
     return comp

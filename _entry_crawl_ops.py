@@ -293,29 +293,48 @@ def _q_o7_cascade_early_exit(spark, sf_dir):
     )
 
 
+_CASCADE_CACHE: dict = {}
+
+
 def _cascade_products(spark, sf_dir):
-    mentions, page_stats, _ = run_cascade(_pages_corpus(spark, sf_dir))
-    products = first_touch(
-        mentions, ["queue_pos", "parser_rank"], ["domain", "url"]
-    )
-    return mentions, page_stats, products
+    # memoized per (session, sf_dir): the cascade corpus plan is shared
+    # by several gate entries and re-planning it per entry dominated the
+    # gate's tail (the r3 driver run recorded only the first 50 rows)
+    key = (id(spark), sf_dir)
+    if key not in _CASCADE_CACHE:
+        mentions, page_stats, _ = run_cascade(_pages_corpus(spark, sf_dir))
+        products = first_touch(
+            mentions, ["queue_pos", "parser_rank"], ["domain", "url"]
+        )
+        _CASCADE_CACHE[key] = (
+            mentions, page_stats.persist(), products.persist()
+        )
+    return _CASCADE_CACHE[key]
 
 
-def _q_a1_a4_parser_stats(spark, sf_dir):
-    """A1/A2/A4 — the aggregate_results_locally shape (tasks.py:289-361):
-    per-parser totals, first-touch uniques, distinct domains — over the
-    real cascade output."""
+def _q_a1_a5_parser_attribution(spark, sf_dir):
+    """A1/A2/A4/A5 in one gate entry (the driver's gate records at most
+    50 rows — observed r3 — so the two former aggregate entries are
+    stacked with sentinels, lossless): the aggregate_results_locally
+    shape (tasks.py:289-361) — per-parser totals, first-touch uniques,
+    distinct domains (rows with domain='', n_first=-1) UNION
+    parser_url_counts — first-found attribution per (domain, parser)
+    (tasks.py:555-577; rows with total/unique/domains=-1)."""
     _, page_stats, products = _cascade_products(spark, sf_dir)
-    return parser_stats(page_stats, products)
-
-
-def _q_a2_a5_uniques_by_domain(spark, sf_dir):
-    """A2/A5 — parser_url_counts: first-found attribution counts per
-    (domain, parser) (tasks.py:555-577)."""
-    _, _, products = _cascade_products(spark, sf_dir)
-    return products.groupBy("domain", "parser").agg(
-        F.count("*").alias("n_first")
+    neg = F.lit(-1).cast("long")
+    stats = parser_stats(page_stats, products).select(
+        "parser", F.lit("").alias("domain"), neg.alias("n_first"),
+        "total", "unique", "domains",
     )
+    by_domain = (
+        products.groupBy("domain", "parser")
+        .agg(F.count("*").alias("n_first"))
+        .select(
+            "parser", "domain", "n_first",
+            neg.alias("total"), neg.alias("unique"), neg.alias("domains"),
+        )
+    )
+    return stats.unionByName(by_domain)
 
 
 # H1/P2 corpus: HTML assembled by shared SQL, so the expected span
@@ -392,7 +411,8 @@ FROM corpus
 
 
 def _q_robots_parse(spark, sf_dir):
-    """robots.txt -> Disallow prefixes (north-star robots gating), via
+    """robots.txt -> the ``*`` group's Allow/Disallow rules in file
+    order (north-star robots gating, RFC 9309 incl. Allow lines), via
     the real columnar parser."""
     from webcrawlerfull_spark.functions.robots import parse_robots
 
@@ -402,9 +422,8 @@ def _q_robots_parse(spark, sf_dir):
         base.select(F.col("seq").alias("host"), "robots_txt")
     )
     return parsed.select(
-        F.col("host").alias("seq"),
-        F.posexplode("disallow_prefixes").alias("pos", "prefix"),
-    )
+        F.col("host").alias("seq"), F.posexplode("rules").alias("pos", "r")
+    ).select("seq", "pos", F.col("r.prefix").alias("prefix"), F.col("r.allow").alias("allow"))
 
 
 def _q_s9_s10_file_sinks(spark, sf_dir):
@@ -481,8 +500,7 @@ def crawl_ops_queries() -> dict:
         "h2_pattern_parse_sorted": _q_h2_pattern_parse_sorted,
         "o1_sorted_parser_output": _q_o1_sorted_parser_output,
         "o7_cascade_early_exit": _q_o7_cascade_early_exit,
-        "a1_a4_parser_stats": _q_a1_a4_parser_stats,
-        "a2_a5_uniques_by_domain": _q_a2_a5_uniques_by_domain,
+        "a1_a5_parser_attribution": _q_a1_a5_parser_attribution,
     }
 
 
@@ -704,14 +722,16 @@ def crawl_ops_oracles() -> dict:
     return {
         "robots_parse": f"""
             WITH base AS ({ROBOTS_CORPUS_SQL})
-            SELECT seq, 0 AS pos, '/private/' AS prefix FROM base
-            WHERE CAST(seq % 5 AS INT) = 0
+            SELECT seq, 0 AS pos, '/private/' AS prefix, FALSE AS allow
+            FROM base WHERE CAST(seq % 5 AS INT) = 0
             UNION ALL
-            SELECT seq, 1, '/tmp' FROM base WHERE CAST(seq % 5 AS INT) = 0
+            SELECT seq, 1, '/tmp', FALSE FROM base WHERE CAST(seq % 5 AS INT) = 0
             UNION ALL
-            SELECT seq, 0, '/blog/' FROM base WHERE CAST(seq % 5 AS INT) = 1
+            SELECT seq, 0, '/blog/', FALSE FROM base WHERE CAST(seq % 5 AS INT) = 1
             UNION ALL
-            SELECT seq, 0, '/Cart' FROM base WHERE CAST(seq % 5 AS INT) = 3
+            SELECT seq, 0, '/x', TRUE FROM base WHERE CAST(seq % 5 AS INT) = 3
+            UNION ALL
+            SELECT seq, 1, '/Cart', FALSE FROM base WHERE CAST(seq % 5 AS INT) = 3
         """,
         "s9_s10_file_sinks": f"""
             WITH corpus AS ({CORPUS_SQL})
@@ -873,7 +893,7 @@ def crawl_ops_oracles() -> dict:
             LEFT JOIN ccount cc USING (page_id)
             LEFT JOIN sqcount sq USING (page_id)
         """,
-        "a1_a4_parser_stats": f"""
+        "a1_a5_parser_attribution": f"""
             {cascade_full}, {_SEQGEN_CTE}, {_MENTIONS_CTE},
             found AS (
               SELECT f.page_id, f.page_host, 'simple' AS parser,
@@ -896,12 +916,13 @@ def crawl_ops_oracles() -> dict:
             uniq AS (
               SELECT parser, COUNT(*) AS u
               FROM firsts WHERE rn = 1 GROUP BY 1)
-            SELECT t.parser, t.total, COALESCE(u.u, 0) AS "unique", t.domains
+            SELECT t.parser, '' AS domain, CAST(-1 AS BIGINT) AS n_first,
+                   t.total, COALESCE(u.u, 0) AS "unique", t.domains
             FROM totals t LEFT JOIN uniq u USING (parser)
-        """,
-        "a2_a5_uniques_by_domain": f"""
-            {cascade_full}, {_SEQGEN_CTE}, {_MENTIONS_CTE}
-            SELECT page_host AS domain, parser, COUNT(*) AS n_first
+            UNION ALL
+            SELECT parser, page_host AS domain, COUNT(*) AS n_first,
+                   CAST(-1 AS BIGINT) AS total, CAST(-1 AS BIGINT) AS "unique",
+                   CAST(-1 AS BIGINT) AS domains
             FROM firsts WHERE rn = 1 GROUP BY 1, 2
         """,
     }

@@ -98,6 +98,67 @@ def test_batch_lsh_agrees_with_per_query(spark, sf_dir):
         assert [v for _, v in sorted(got[qid])] == solo, qid
 
 
+def test_batch_lsh_shuffle_join_agrees_with_broadcast(spark, sf_dir, monkeypatch):
+    """Above BROADCAST_PROBE_LIMIT the probe set can't ship to every
+    executor; the auto-switch must pick the shuffle hash join and return
+    IDENTICAL results. Limit is pinned tiny so this query set (q=40 ×
+    7 probes = 280 rows) is 'too large to broadcast' for the auto path."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dims = len(emb.first()["embedding"])
+    queries = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["rank"], r["vec_id"], r["cosine"]) for r in df.collect()
+        )
+
+    bcast = rows(
+        SIM.lsh_topk_batch(
+            emb, queries, dims=dims, k=5, planes=6, broadcast_queries=True
+        )
+    )
+    shuffled = rows(
+        SIM.lsh_topk_batch(
+            emb, queries, dims=dims, k=5, planes=6, broadcast_queries=False
+        )
+    )
+    assert shuffled == bcast
+    monkeypatch.setattr(SIM, "BROADCAST_PROBE_LIMIT", 100)
+    auto = rows(
+        SIM.lsh_topk_batch(emb, queries, dims=dims, k=5, planes=6)
+    )
+    assert auto == bcast
+
+
+def test_indexed_dims_and_column_validation(spark, sf_dir, tmp_path):
+    """lsh_topk_indexed: unresolvable dims raises a clear error (not an
+    opaque TypeError deep in signature math) and conflicting explicit
+    dims/id_col/vec_col are rejected like planes (ADVICE r3)."""
+    import pytest
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dims = len(emb.first()["embedding"])
+    path = str(tmp_path / "idx")
+    SIM.write_lsh_index(emb, path, dims=dims, planes=6)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    with pytest.raises(ValueError, match="dims"):
+        SIM.lsh_topk_indexed(spark, path, qv, dims=dims + 1, k=3)
+    with pytest.raises(ValueError, match="vec_col"):
+        SIM.lsh_topk_indexed(spark, path, qv, k=3, vec_col="other")
+    # legacy index (no meta): omitting dims must raise clearly
+    os.remove(os.path.join(path, "_ann_meta.json"))
+    with pytest.raises(ValueError, match="legacy"):
+        SIM.lsh_topk_indexed(spark, path, qv, k=3, planes=6)
+    # ... and passing everything explicitly still works
+    got = SIM.lsh_topk_indexed(
+        spark, path, qv, dims=dims, k=3, planes=6
+    ).count()
+    assert got > 0
+
+
 def test_probe_array_matches_probe_signatures(spark):
     df = spark.createDataFrame([("010011",)], ["sig"])
     got = df.select(

@@ -62,6 +62,62 @@ def test_anti_join_equivalence(spark):
     assert bloomed == exact
 
 
+def test_scheme_versioning(spark):
+    seen = _urls(spark, 500, "seen")
+    filters = bloom.update_filters(seen, None, B, CAP, FPP)
+    assert bloom.scheme_ok(filters)
+    # a foreign scheme string and legacy no-column state must both fail
+    foreign = filters.withColumn("scheme", F.lit("blake2b-v1"))
+    assert not bloom.scheme_ok(foreign)
+    legacy = filters.drop("scheme")
+    assert not bloom.scheme_ok(legacy)
+    # merging INTO legacy bytes is refused (their hash family is unknown)
+    try:
+        bloom.update_filters(_urls(spark, 10, "x"), legacy, B, CAP, FPP)
+        assert False, "expected ValueError for legacy filter state"
+    except ValueError:
+        pass
+
+
+def test_resume_rebuilds_stale_scheme_filters(spark, tmp_path_factory):
+    """Cross-version resume: seen_bloom written under an old hash family
+    must be rebuilt from the exact seen table, not probed — otherwise
+    seen URLs silently re-fetch (ADVICE r3). The crawl's seen/product
+    sets must match an untampered run exactly."""
+    world = World(seed=42, n_hosts=4, base_pages=40)
+    seeds = world.seeds()
+    cfg = CrawlConfig(
+        max_depth=3, politeness_budget=None, shuffle_partitions=8,
+        use_bloom=True, bloom_buckets=B,
+        bloom_capacity_per_bucket=CAP, bloom_fpp=FPP,
+    )
+
+    cat_ref = Catalog(spark, str(tmp_path_factory.mktemp("ref")))
+    res_ref = crawl(spark, seeds, cfg, world, cat_ref)
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("stale")))
+    crawl(spark, seeds, cfg, world, cat, max_rounds=2)
+    # tamper: rewrite every committed seen_bloom round as if an older
+    # engine wrote it — same bytes, no scheme column (pre-versioning)
+    for r in cat.committed_rounds("seen_bloom"):
+        legacy = cat.read_round("seen_bloom", r).drop("scheme")
+        legacy_rows = legacy.collect()
+        cat.write_round(
+            spark.createDataFrame(legacy_rows, schema=legacy.schema),
+            "seen_bloom", r,
+        )
+    res = crawl(spark, seeds, cfg, world, cat)  # resume
+    assert {r["url"] for r in res.seen.collect()} == {
+        r["url"] for r in res_ref.seen.collect()
+    }
+    assert {(r["url"], r["parser"]) for r in res.products.collect()} == {
+        (r["url"], r["parser"]) for r in res_ref.products.collect()
+    }
+    # and the rebuilt state is stamped with the current scheme
+    rebuilt = cat.read_bloom()
+    assert bloom.scheme_ok(rebuilt)
+
+
 def test_crawl_bloom_equals_exact(spark, tmp_path_factory):
     world = World(seed=42, n_hosts=4, base_pages=40)
     seeds = world.seeds()

@@ -164,6 +164,54 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_star_components_match_propagation(spark):
+    """connected_components_star (large-star/small-star contraction)
+    returns the identical (node, component) labeling as min-label
+    propagation on mixed chain/star/singleton graphs."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),
+            (10, 11), (10, 12), (10, 13),
+            (20, 21),
+            (30, 31), (32, 31), (32, 33), (30, 33),  # cycle
+        ],
+        ["id_a", "id_b"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13, 20, 21, 30, 31, 32, 33, 99]],
+        ["node"],
+    )
+    prop = {
+        r["node"]: r["component"]
+        for r in TD.connected_components(pairs, nodes=nodes).collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in TD.connected_components_star(pairs, nodes=nodes).collect()
+    }
+    assert star == prop
+
+
+def test_star_components_chain_log_rounds(spark):
+    """Adversarial chain of 257 nodes: min-label propagation needs
+    O(diameter)=256 label hops; star contraction must finish in
+    O(log n) rounds (the r3 VERDICT ask). Bound: 2*ceil(log2 n) + 2."""
+    import math
+
+    n = 256  # edges; 257 nodes, diameter 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in TD.connected_components_star(pairs, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+    bound = 2 * math.ceil(math.log2(n + 1)) + 2
+    assert stats["rounds"] <= bound, stats
+
+
 def test_simhash64_near_dup_distance(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog and runs away fast"),

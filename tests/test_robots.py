@@ -49,6 +49,81 @@ def test_parse_robots_sections(spark):
     }
 
 
+def test_allow_longest_match_precedence(spark):
+    """RFC 9309 §2.2.2: longest matching rule decides; allow wins a
+    length tie; no match = allowed."""
+    from webcrawlerfull_spark.functions.robots import blocked_by_rules
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Allow: /public/\n"
+        "Disallow: /public/secret/\n"
+        "Allow: /p\n"
+        "Disallow: /p\n"  # same length: allow wins the tie
+    )
+    rules_df = parse_robots(
+        spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+    )
+    paths = [
+        ("/", True),                      # Disallow / (len 1) only match
+        ("/anything", True),              # Disallow / wins
+        ("/public/", False),              # Allow /public/ (8) > / (1)
+        ("/public/page", False),
+        ("/public/secret/x", True),       # Disallow /public/secret/ longest
+        ("/p", False),                    # tie /p vs /p -> allow
+        ("/pq", False),                   # tie again at len 2
+    ]
+    df = spark.createDataFrame(
+        [("h", p) for p, _ in paths], ["host", "path"]
+    ).join(rules_df, "host")
+    got = {
+        r["path"]: r["blocked"]
+        for r in df.select(
+            "path",
+            blocked_by_rules(F.col("path"), F.col("rules")).alias("blocked"),
+        ).collect()
+    }
+    assert got == dict(paths)
+
+
+def test_crawl_allow_subtree_end_to_end(spark, tmp_path_factory):
+    """A host that disallows /category/ but allows /category/c0 must
+    fetch the c0 subtree and nothing else under /category/ — the case
+    the prefix-only gate gated wrong (Disallow would have blocked c0
+    too)."""
+    world = World(seed=42, n_hosts=4, base_pages=40)
+    seeds = world.seeds()
+    host0 = seeds[0].split("/")[2]
+    cfg = CrawlConfig(max_depth=3, shuffle_partitions=8)
+
+    cat_free = Catalog(spark, str(tmp_path_factory.mktemp("allow_free")))
+    free = crawl(spark, seeds, cfg, world, cat_free)
+    free_seen = {r["url"] for r in free.seen.collect()}
+    c0 = f"https://{host0}/category/c0"
+    other_cats = {
+        u for u in free_seen
+        if u.startswith(f"https://{host0}/category/")
+        and not u.split("?")[0].rstrip("/") == c0
+    }
+    assert c0 in free_seen and other_cats  # the world exercises both sides
+
+    robots = parse_robots(
+        spark.createDataFrame(
+            [(host0, "User-agent: *\nDisallow: /category/\nAllow: /category/c0")],
+            ["host", "robots_txt"],
+        )
+    )
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("robots_allow")))
+    res = crawl(spark, seeds, cfg, world, cat, robots=robots)
+    seen = {r["url"] for r in res.seen.collect()}
+    assert c0 in seen                      # allowed subtree fetched
+    assert not (seen & other_cats), sorted(seen & other_cats)[:5]
+    # other hosts unaffected
+    other_hosts = {s.split("/")[2] for s in seeds[1:]}
+    assert {u.split("/")[2] for u in seen} >= other_hosts
+
+
 def test_crawl_robots_gating_end_to_end(spark, tmp_path_factory):
     world = World(seed=42, n_hosts=4, base_pages=40)
     seeds = world.seeds()

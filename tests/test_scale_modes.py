@@ -55,6 +55,38 @@ def test_politeness_budget_respected(spark):
     assert got == expected
 
 
+def test_scheduled_queue_pos_is_dense_fetch_order(spark):
+    """Budgeted mode re-derives queue_pos on the scheduled slice as the
+    dense per-domain rank under the politeness ordering keys — the
+    consumers (first-touch attribution, floor(queue_pos/10) batch
+    visibility) read it as fetch order, so carried-over frontier
+    positions (gapped, deferred-first) must not leak through (ADVICE
+    r3). Frontier queue_pos here is deliberately gapped + shuffled."""
+    rows = []
+    for h in ("a", "b"):
+        for i in range(20):
+            rows.append(
+                {
+                    "url": f"https://{h}.example.com/p/{i}",
+                    "host": f"{h}.example.com",
+                    "domain": f"https://{h}.example.com",
+                    "depth": 1 if i % 3 else 0,
+                    "priority": i % 2,
+                    "discovery_seq": (37 * i) % 101,
+                    "salt_bucket": 0,
+                    "round": 1,
+                    "queue_pos": 1000 + 17 * i,  # gapped, non-fetch-order
+                }
+            )
+    f = spark.createDataFrame(rows)
+    scheduled, _ = politeness_schedule(f, budget=8, salt_partitions=4)
+    got = scheduled.collect()
+    for dom in {r["domain"] for r in got}:
+        sl = [r for r in got if r["domain"] == dom]
+        sl.sort(key=lambda r: (r["depth"], r["priority"], r["discovery_seq"], r["url"]))
+        assert [r["queue_pos"] for r in sl] == list(range(len(sl)))
+
+
 def test_politeness_crawl_drains_frontier(spark, tmp_path_factory):
     """With a finite budget the crawl takes more rounds but visits the
     same URL set as parity mode."""

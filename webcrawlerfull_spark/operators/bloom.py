@@ -47,12 +47,34 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# In-bucket hash-family version stamped into every persisted filter row.
+# Probing filter bytes with a DIFFERENT hash family than the one that set
+# them yields silent false negatives (seen URLs pass the gate and the
+# exact anti-join's pruning assumption breaks -> re-fetches on resume).
+# Bump this string whenever _positions/_SEED_* / _params change shape;
+# the driver rebuilds stale state from the exact seen table on mismatch.
+HASH_SCHEME = "xxh64-dh-v2"
+
 FILTERS_SCHEMA = StructType(
     [
         StructField("bucket_id", IntegerType()),
         StructField("filter_bytes", BinaryType()),
+        StructField("scheme", StringType()),
     ]
 )
+
+
+def scheme_ok(filters: DataFrame) -> bool:
+    """True iff every persisted filter row was written by the CURRENT
+    in-bucket hash family. Legacy state (no ``scheme`` column — written
+    before versioning existed) and any foreign scheme string both fail,
+    which routes the caller to the rebuild-from-exact-seen path."""
+    if "scheme" not in filters.columns:
+        return False
+    bad = filters.where(
+        F.col("scheme").isNull() | (F.col("scheme") != HASH_SCHEME)
+    ).limit(1)
+    return len(bad.take(1)) == 0
 
 PROBE_SCHEMA = StructType(
     [
@@ -132,6 +154,12 @@ def update_filters(
     new_b = _hash_cols(new_urls, url_col, buckets)
     if old_filters is None:
         old_filters = spark.createDataFrame([], schema=FILTERS_SCHEMA)
+    elif "scheme" not in old_filters.columns:
+        raise ValueError(
+            "old_filters predates hash-scheme versioning — its bytes were "
+            "set by an unknown hash family and cannot be merged into; "
+            "rebuild from the exact seen table (see streaming.driver)"
+        )
 
     def merge(key, urls_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(urls_pdf):
@@ -141,6 +169,7 @@ def update_filters(
                 {
                     "bucket_id": pd.Series([], dtype="int32"),
                     "filter_bytes": pd.Series([], dtype=object),
+                    "scheme": pd.Series([], dtype=object),
                 }
             )
         bucket_id = int(key[0])
@@ -150,7 +179,11 @@ def update_filters(
             bits = np.zeros(m // 8, dtype=np.uint8)
         _set_bits(bits, urls_pdf["h1"], urls_pdf["h2"], m, k)
         return pd.DataFrame(
-            {"bucket_id": [bucket_id], "filter_bytes": [bits.tobytes()]}
+            {
+                "bucket_id": [bucket_id],
+                "filter_bytes": [bits.tobytes()],
+                "scheme": [HASH_SCHEME],
+            }
         )
 
     touched = (

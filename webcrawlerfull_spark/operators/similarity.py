@@ -129,7 +129,7 @@ def write_lsh_index(
     embeddings: DataFrame,
     path: str,
     dims: int,
-    planes: int = 8,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -139,11 +139,12 @@ def write_lsh_index(
 
     ``planes`` is recorded in ``_ann_meta.json`` inside the index dir
     (underscore-prefixed: parquet readers ignore it) so queries cannot
-    silently probe with a mismatched signature scheme. Size planes to
-    the corpus: planes ≈ log2(n / target_bucket) — ``planes_for()``."""
+    silently probe with a mismatched signature scheme. Default planes =
+    ``planes_for(corpus count)``; pass explicitly to override."""
     import json
     import os
 
+    planes = _auto_planes(embeddings, planes)
     lsh_index(embeddings, dims, planes, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("sig").parquet(path)
@@ -186,16 +187,30 @@ def lsh_topk_indexed(
     a conflicting ``planes`` explicitly raises (probing with the wrong
     signature scheme would silently return garbage)."""
     meta = read_index_meta(index_path) or {}
-    if planes is None:
-        planes = meta.get("planes", 8)
-    elif meta and planes != meta["planes"]:
-        raise ValueError(
-            f"index at {index_path} was built with planes={meta['planes']}, "
-            f"queried with planes={planes}"
-        )
-    dims = dims if dims is not None else meta.get("dims")
-    id_col = id_col or meta.get("id_col", "vec_id")
-    vec_col = vec_col or meta.get("vec_col", "embedding")
+
+    def _resolve(name: str, given, required: bool = False):
+        stored = meta.get(name)
+        if given is None:
+            if stored is None and required:
+                raise ValueError(
+                    f"index at {index_path} has no _ann_meta.json (legacy "
+                    f"index) and '{name}' was not passed — pass {name}= "
+                    "explicitly (it must match the value the index was "
+                    "built with)"
+                )
+            return stored
+        if stored is not None and given != stored:
+            raise ValueError(
+                f"index at {index_path} was built with {name}={stored!r}, "
+                f"queried with {name}={given!r} — probing with a "
+                "mismatched signature scheme would silently return garbage"
+            )
+        return given
+
+    planes = _resolve("planes", planes) or 8
+    dims = _resolve("dims", dims, required=True)
+    id_col = _resolve("id_col", id_col) or "vec_id"
+    vec_col = _resolve("vec_col", vec_col) or "embedding"
     probes = probe_signatures(query_signature(query_vec, dims, planes), multi_probe)
     idx = spark.read.parquet(index_path).where(F.col("sig").isin(probes))
     return cosine_topk(idx, query_vec, k, id_col, vec_col)
@@ -204,18 +219,29 @@ def lsh_topk_indexed(
 def planes_for(n: int, target_bucket: int = 1024) -> int:
     """Corpus-scaled plane count: 2^planes buckets sized so the expected
     bucket holds ~``target_bucket`` vectors (planes ≈ log2(n/target)).
-    At n=10^9 / target 1024 → 20 planes; the fixed demo default of 8
-    planes (256 buckets) is only right up to ~10^5-10^6 vectors."""
+    At n=10^9 / target 1024 → 20 planes; a fixed 8 planes (256 buckets)
+    is only right up to ~10^5-10^6 vectors."""
     import math
 
     return max(4, math.ceil(math.log2(max(2, n) / target_bucket)))
+
+
+def _auto_planes(embeddings: DataFrame, planes: int | None) -> int:
+    """Default path for every LSH entry point: when the caller does not
+    pass ``planes``, size it from a fast corpus count (one count job —
+    metadata-only on a parquet-backed frame) via ``planes_for``. A
+    10^9-vector caller relying on defaults then gets ~2^20 buckets, not
+    the 256 a fixed demo default would silently give."""
+    if planes is not None:
+        return planes
+    return planes_for(embeddings.count())
 
 
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     dims: int,
     threshold: float = 0.9,
-    planes: int = 8,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 1000,
@@ -225,14 +251,16 @@ def cosine_near_dup_pairs(
     vectors almost surely do — then exact cosine filters at ``threshold``.
     The self-join is on the signature, so work is Σ bucket² not n².
 
-    Skew hardening: ``planes`` must GROW with the corpus
-    (``planes_for(n)``) or Σ bucket² degenerates to ~n²/2^planes, and a
-    degenerate bucket — zero/near-zero vectors all signing identically —
-    pins one task regardless of planes. ``max_bucket`` excludes
-    over-cap signatures from pair generation (same contract as
+    Skew hardening: ``planes`` must GROW with the corpus — the default
+    (None) derives it as ``planes_for(count)`` — or Σ bucket²
+    degenerates to ~n²/2^planes, and a degenerate bucket — zero/
+    near-zero vectors all signing identically — pins one task
+    regardless of planes. ``max_bucket`` excludes over-cap signatures
+    from pair generation (same contract as
     ``textdedup.minhash_candidate_pairs``: callers route oversized
     buckets to a sampling/exact path), bounding any task at
     max_bucket² cosine evaluations."""
+    planes = _auto_planes(embeddings, planes)
     sigs = lsh_index(embeddings, dims, planes, id_col, vec_col)
     if max_bucket is not None:
         sizes = sigs.groupBy("sig").agg(F.count("*").alias("_n"))
@@ -301,26 +329,48 @@ def cosine_topk_batch(
     )
 
 
+# above this many EXPLODED probe rows (n_queries × (planes+1)) the probe
+# set stops being broadcast-able (each executor would hold the whole
+# query table + vectors in memory) and the sig join runs as a shuffle
+# hash join instead
+BROADCAST_PROBE_LIMIT = 500_000
+
+
 def lsh_topk_batch(
     embeddings: DataFrame,
     queries: DataFrame,
     dims: int,
     k: int = 10,
-    planes: int = 8,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """LSH-bucketed batch ANN (multi_probe=1): corpus signatures computed
     once, each query exploded into its planes+1 probe signatures, probes
-    broadcast-joined to the bucketed corpus, exact cosine only within
+    joined to the bucketed corpus on ``sig``, exact cosine only within
     joined buckets, per-query window top-k. At 100 TB this is the
     many-query shape: the corpus-side work is one signature pass + a
     hash join on ``sig`` — each query touches ~(planes+1)/2^planes of
-    the corpus, and no query re-scans it."""
+    the corpus, and no query re-scans it.
+
+    Join strategy: ``broadcast_queries=None`` (default) counts the query
+    set and broadcasts iff n_queries × (planes+1) ≤
+    ``BROADCAST_PROBE_LIMIT`` — correct for q ≪ corpus; beyond that the
+    probe set is too large to ship to every executor and the join runs
+    as a plain shuffle hash join on ``sig`` (both sides repartition by
+    signature — still Σ bucket-pair work, never a corpus broadcast).
+    Pass True/False to force. Results are identical either way
+    (pytest-checked); only the physical plan changes."""
     from pyspark.sql import Window
 
+    planes = _auto_planes(embeddings, planes)
+    if broadcast_queries is None:
+        broadcast_queries = (
+            queries.count() * (planes + 1) <= BROADCAST_PROBE_LIMIT
+        )
     sigs = lsh_index(embeddings, dims, planes, id_col, vec_col)
     probes = queries.select(
         F.col(q_id_col),
@@ -329,7 +379,9 @@ def lsh_topk_batch(
             probe_array(lsh_signature(F.col(q_vec_col), dims, planes), planes)
         ).alias("sig"),
     )
-    cand = sigs.join(F.broadcast(probes), "sig")
+    cand = sigs.join(
+        F.broadcast(probes) if broadcast_queries else probes, "sig"
+    )
     scored = cand.select(
         F.col(q_id_col),
         F.col(id_col),
@@ -350,7 +402,7 @@ def lsh_topk(
     query_vec: list[float],
     dims: int,
     k: int = 10,
-    planes: int = 8,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: int = 0,
@@ -358,7 +410,9 @@ def lsh_topk(
     """Index-free ANN (one-shot): exact cosine within the query's
     multi-probe bucket set. For repeated queries build the persisted
     index (write_lsh_index + lsh_topk_indexed) instead — this form
-    recomputes signatures per call."""
+    recomputes signatures per call. Default planes scale with the
+    corpus (``planes_for(count)``)."""
+    planes = _auto_planes(embeddings, planes)
     probes = probe_signatures(query_signature(query_vec, dims, planes), multi_probe)
     bucketed = embeddings.withColumn("sig", lsh_signature(F.col(vec_col), dims, planes))
     candidates = bucketed.where(F.col("sig").isin(probes))

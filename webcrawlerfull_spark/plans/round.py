@@ -52,10 +52,28 @@ def politeness_schedule(
 
     Returns (scheduled, deferred); deferred keeps its columns and rejoins
     the next round's frontier.
+
+    In budgeted mode ``queue_pos`` on the SCHEDULED slice is re-derived
+    as the dense per-domain rank under the politeness ordering keys
+    (depth, priority, discovery_seq, url) — the round's actual fetch
+    order. Two downstream consumers treat queue_pos as fetch order
+    (first-touch attribution orders by [queue_pos, parser_rank]; the
+    batch-visibility rule groups floor(queue_pos/10)), and the frontier's
+    carried-over positions are neither dense nor fetch-ordered after
+    merge_deferred (deferred rows keep their original rank, fresh rows
+    are offset past them). The re-rank windows over the scheduled slice
+    ONLY — bounded at budget × hosts-per-domain per round, unlike the
+    ever-growing deferred backlog — so it stays cheap on a long crawl.
     """
     if budget is None:
         return frontier, frontier.limit(0)
-    order = [F.col("depth").asc(), F.col("priority").asc(), F.col("discovery_seq").asc()]
+    # url tie-break: discovery_seq is unique per domain only within one
+    # frontier generation; deferred rows from older rounds can collide
+    # with fresh ones, and the ranks below must be deterministic
+    order = [
+        F.col("depth").asc(), F.col("priority").asc(),
+        F.col("discovery_seq").asc(), F.col("url").asc(),
+    ]
     salted = frontier.withColumn(
         "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
     )
@@ -65,27 +83,44 @@ def politeness_schedule(
     w2 = Window.partitionBy("host").orderBy(*order)
     ranked = survivors.withColumn("_rn2", F.row_number().over(w2))
     scheduled = ranked.where(F.col("_rn2") <= budget).drop("_salt", "_rn1", "_rn2")
+    # per-domain fetch order (reference batches are per-domain); a
+    # domain-less frontier (operator-level callers) falls back to host
+    fetch_key = "domain" if "domain" in frontier.columns else "host"
+    w_fetch = Window.partitionBy(fetch_key).orderBy(*order)
+    scheduled = scheduled.withColumn(
+        "queue_pos", (F.row_number().over(w_fetch) - 1).cast("long")
+    )
     # deferred = frontier minus scheduled (cheap anti-join on url)
     deferred = frontier.join(scheduled.select("url"), "url", "left_anti")
     return scheduled, deferred
 
 
 def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Robots gating (north_star): drop frontier URLs whose path starts
-    with a disallowed prefix for their host. The reference has no robots
-    handling — engine-side addition, None disables it (parity mode)."""
+    """Robots gating (north_star): drop frontier URLs blocked by their
+    host's ``*`` rules. A robots table with a ``rules`` column (the
+    parse_robots shape) gets full RFC 9309 §2.2.2 longest-match
+    allow/disallow precedence — a site that disallows ``/`` then allows
+    a subtree gates correctly; a legacy disallow-prefix-only table falls
+    back to any-prefix blocking. The reference has no robots handling —
+    engine-side addition, None disables it (parity mode)."""
     if robots is None:
         return frontier
+    from webcrawlerfull_spark.functions.robots import blocked_by_rules
+
     joined = frontier.join(F.broadcast(robots), "host", "left")
     # a bare "https://host" URL has empty path but means "/" — normalize
     # so Disallow "/" blocks the seed itself
     raw_path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
-    blocked = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array()),
-        lambda p: path.startswith(p),
-    )
-    return joined.where(~blocked).drop("disallow_prefixes")
+    extra = [c for c in ("rules", "disallow_prefixes") if c in robots.columns]
+    if "rules" in robots.columns:
+        blocked = blocked_by_rules(path, F.col("rules"))
+    else:
+        blocked = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: path.startswith(p),
+        )
+    return joined.where(~blocked).drop(*extra)
 
 
 def run_round(
@@ -151,9 +186,12 @@ def merge_deferred(
     per-domain deferred max (one cheap partial aggregate, no sort). The
     result is unique per domain and orders every older row before every
     newer one; within each generation the original (priority,
-    discovery_seq) order is preserved. Scheduling order is unaffected:
-    politeness_schedule orders by (depth, priority, discovery_seq), not
-    queue_pos."""
+    discovery_seq) order is preserved. The frontier's queue_pos is ONLY
+    a stable per-domain unique id here — nothing downstream reads it as
+    fetch order: politeness_schedule orders by (depth, priority,
+    discovery_seq, url) and re-derives a dense fetch-order queue_pos on
+    the scheduled slice, which is what attribution and the
+    batch-visibility rule consume."""
     deferred = deferred.join(seen.select("url"), "url", "left_anti")
     fresh = next_frontier.join(deferred.select("url"), "url", "left_anti")
     cols = [

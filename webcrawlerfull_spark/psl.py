@@ -24,10 +24,27 @@ once JVM-side; the rule table is program text, nothing is shipped to
 executors) — at crawl scale this runs inside whole-stage codegen over
 the frontier, no broadcast join and no Python.
 
-Output-format parity notes (all match tldextract's behavior through the
+Output-format parity notes (match tldextract's behavior through the
 reference's ``f"{domain}.{suffix}"`` formatting):
 - host IS a public suffix (``co.uk``, ``b.ck``): domain='' → ``_co_uk``
 - single unlisted label (``localhost``): suffix='' → ``localhost_``
+
+**Parity scope**: exact tldextract agreement holds for hosts whose
+public suffix is covered by the vendored tables below (plus all
+single-label TLD hosts, via the implicit ``*`` default both
+implementations share). Two documented divergences outside that scope:
+- a host whose TRUE public suffix is a multi-label PSL rule absent from
+  the curated subset falls through to the implicit default here and
+  keys one label too high (``shop.co.ao`` → ``co_ao`` vs tldextract's
+  ``shop_co_ao`` — fix: add ``co.ao`` to EXACT_SUFFIXES);
+- multi-label hosts under a TLD that is entirely unlisted in the full
+  PSL format identically here (implicit ``*``: last label is the
+  suffix, → ``reg_tld``) but tldextract's default instance reports
+  suffix='' for unregistered TLDs in some versions (→ ``tld_``).
+The 550-host fuzz test (tests/test_api.py) checks parity against the
+independent Python PSL-algorithm oracle over the vendored rule set —
+i.e., it pins the ALGORITHM; coverage beyond the vendored rules is a
+data question, not a code question.
 """
 
 from __future__ import annotations

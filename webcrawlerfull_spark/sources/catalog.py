@@ -180,6 +180,12 @@ class Catalog:
             return r > committed + 1
         return r > committed
 
+    def drop_table(self, table: str) -> None:
+        """Remove EVERY round of one table (used when persisted state is
+        unusable as-is, e.g. bloom filters written by an older hash
+        scheme, and must be rebuilt from a source-of-truth table)."""
+        shutil.rmtree(self._dir(table), ignore_errors=True)
+
     def destroy(self) -> None:
         shutil.rmtree(self.base, ignore_errors=True)
 
@@ -208,9 +214,26 @@ class IcebergCatalog:
     engine at a real lakehouse is a constructor swap, not a rewrite:
     round-keyed idempotent redo = DELETE round partition + append;
     commit marker = the lineage append (atomic in Iceberg); compaction =
-    keep-first rewrite via ``overwritePartitions`` (snapshot-expiry
-    analogue); time-travel by round = the ``_r`` partition column, or
-    Iceberg's own snapshot history.
+    keep-first rewrite staged through a scratch table + ONE atomic
+    ``overwrite(_r <= up_to)`` snapshot (crash-safe: see
+    tests/test_iceberg_gate.py::test_compact_is_staged_single_overwrite,
+    which pins the statement order); time-travel by round = the ``_r``
+    partition column, or Iceberg's own snapshot history.
+
+    One-command wiring on a machine with network (public artifact)::
+
+        spark-submit \\
+          --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \\
+          --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \\
+          --conf spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog \\
+          --conf spark.sql.catalog.local.type=hadoop \\
+          --conf spark.sql.catalog.local.warehouse=/path/to/warehouse \\
+          your_job.py
+
+    (match the runtime artifact to your Spark/Scala version); then
+    ``IcebergCatalog(spark)`` replaces ``Catalog(spark, base)`` with no
+    other change — the driver surface is signature-identical
+    (tests/test_iceberg_gate.py::test_interface_parity).
     """
 
     def __init__(
@@ -336,13 +359,22 @@ class IcebergCatalog:
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        # one atomic snapshot replaces every round partition <= up_to
-        df.withColumn("_r", F.lit(up_to)).writeTo(
-            self._tbl(table)
-        ).overwritePartitions()
-        self.spark.sql(
-            f"DELETE FROM {self._tbl(table)} WHERE _r < {up_to}"
+        # Crash-safe two-step mirroring the parquet Catalog's .compact
+        # marker: (1) stage the merged rows in a scratch table — a crash
+        # here leaves the target untouched (the scratch is dropped and
+        # re-created on retry); (2) ONE atomic overwrite snapshot that
+        # deletes every row with _r <= up_to and inserts the merged rows
+        # in the same commit — never the overwrite-then-DELETE pair,
+        # whose mid-crash leaves pre-up_to rounds double-counted.
+        # Staging also avoids reading the target inside its own
+        # overwrite, which some Spark/Iceberg combinations reject.
+        scratch = self._tbl(f"tmp_compact_{table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+        df.withColumn("_r", F.lit(up_to)).writeTo(scratch).create()
+        self.spark.table(scratch).writeTo(self._tbl(table)).overwrite(
+            F.col("_r") <= up_to
         )
+        self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
         return True
 
     def max_committed_round(self) -> int | None:
@@ -357,6 +389,10 @@ class IcebergCatalog:
             self.spark.sql(
                 f"DELETE FROM {self._tbl(table)} WHERE _r > {keep}"
             )
+
+    def drop_table(self, table: str) -> None:
+        if self._exists(table):
+            self.spark.sql(f"DROP TABLE {self._tbl(table)}")
 
     def destroy(self) -> None:
         for table in self.TABLES:

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from webcrawlerfull_spark import schemas
 from webcrawlerfull_spark.config import CrawlConfig
-from webcrawlerfull_spark.operators.bloom import seen_anti_join, update_filters
+from webcrawlerfull_spark.operators.bloom import (
+    scheme_ok,
+    seen_anti_join,
+    update_filters,
+)
 from webcrawlerfull_spark.operators.attribution import first_touch
 from webcrawlerfull_spark.operators.cascade import run_cascade
 from webcrawlerfull_spark.operators.frontier import build_next_frontier, seed_frontier
@@ -167,10 +171,20 @@ def _run_rounds(
         seen_filters = None
         if cfg.use_bloom and round_id > 0:
             seen_filters = catalog.read_bloom(up_to_round=round_id - 1)
+            if seen_filters is not None and not scheme_ok(seen_filters):
+                # persisted filters were written by an OLDER in-bucket
+                # hash family (or predate versioning): probing their
+                # bytes with the current hashes would yield silent false
+                # negatives -> re-fetch of seen URLs. Drop the stale
+                # state; the reseed branch below rebuilds it from the
+                # exact seen table (the source of truth).
+                catalog.drop_table("seen_bloom")
+                seen_filters = None
             if seen_filters is None:
-                # bloom toggled on mid-run (resume): the cumulative filter
-                # must cover EVERYTHING in the exact seen table, else
-                # earlier-seen URLs probe definitely-new and get re-fetched
+                # bloom toggled on mid-run (resume) or scheme-stale: the
+                # cumulative filter must cover EVERYTHING in the exact
+                # seen table, else earlier-seen URLs probe definitely-new
+                # and get re-fetched
                 seeded = update_filters(
                     seen.select("url"), None, cfg.bloom_buckets,
                     cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
