@@ -124,6 +124,99 @@ def test_crawl_allow_subtree_end_to_end(spark, tmp_path_factory):
     assert {u.split("/")[2] for u in seen} >= other_hosts
 
 
+def _py_robots_oracle(txt: str):
+    """Independent pure-Python RFC 9309 model (written against the RFC,
+    not the engine code): returns (rules, blocked(path)) for the '*'
+    group. Consecutive UA lines form one header; blanks/comments don't
+    split a header; empty Disallow/Allow values are no-ops; longest
+    matching rule wins, allow wins length ties."""
+    rules = []
+    active = False
+    in_ua = False
+    for raw in txt.split("\n"):
+        line = raw.strip()
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            is_star = line[11:].strip() == "*"
+            active = (in_ua and active) or is_star
+            in_ua = True
+            continue
+        if line == "" or line.startswith("#"):
+            continue  # insignificant: header run survives
+        if low.startswith("disallow:"):
+            v = line[9:].strip()
+            if active and v:
+                rules.append((v, False))
+        elif low.startswith("allow:"):
+            v = line[6:].strip()
+            if active and v:
+                rules.append((v, True))
+        in_ua = False
+
+    def blocked(path: str) -> bool:
+        best_allow = max(
+            (len(p) for p, a in rules if a and path.startswith(p)), default=None
+        )
+        best_dis = max(
+            (len(p) for p, a in rules if not a and path.startswith(p)),
+            default=None,
+        )
+        if best_dis is None:
+            return False
+        return best_allow is None or best_allow < best_dis
+
+    return rules, blocked
+
+
+def test_robots_fuzz_vs_python_oracle(spark):
+    """200 random robots files × 8 paths each: the columnar parser +
+    longest-match gate must agree with the independent Python RFC model
+    on every (file, path) pair."""
+    import random
+
+    from webcrawlerfull_spark.functions.robots import blocked_by_rules
+
+    rng = random.Random(909)
+    prefixes = ["/", "/a", "/a/", "/a/b", "/ab", "/b/", "/b/c/", "/Cart", "/x?y"]
+    uas = ["User-agent: *", "User-agent: googlebot", "user-AGENT:   *"]
+    fillers = ["", "# comment", "Sitemap: https://x/s.xml", "Crawl-delay: 2"]
+    files = []
+    for fid in range(200):
+        lines = []
+        for _ in range(rng.randint(1, 14)):
+            kind = rng.random()
+            if kind < 0.3:
+                lines.append(rng.choice(uas))
+            elif kind < 0.55:
+                lines.append(f"Disallow: {rng.choice(prefixes + [''])}")
+            elif kind < 0.75:
+                lines.append(f"Allow: {rng.choice(prefixes + [''])}")
+            else:
+                lines.append(rng.choice(fillers))
+        files.append((str(fid), "\n".join(lines)))
+
+    paths = ["/", "/a", "/a/", "/a/b/c", "/ab", "/b/c/d", "/Cart", "/zz"]
+    df = parse_robots(spark.createDataFrame(files, ["host", "robots_txt"]))
+    path_df = spark.createDataFrame([(p,) for p in paths], ["path"])
+    got = {
+        (r["host"], r["path"]): (list(map(tuple, r["rules"])), r["blocked"])
+        for r in df.crossJoin(path_df)
+        .select(
+            "host", "path", "rules",
+            blocked_by_rules(F.col("path"), F.col("rules")).alias("blocked"),
+        )
+        .collect()
+    }
+    mismatches = []
+    for host, txt in files:
+        exp_rules, blocked = _py_robots_oracle(txt)
+        for p in paths:
+            g_rules, g_blocked = got[(host, p)]
+            if g_rules != exp_rules or g_blocked != blocked(p):
+                mismatches.append((host, p, txt, g_rules, exp_rules, g_blocked))
+    assert not mismatches, mismatches[:3]
+
+
 def test_crawl_robots_gating_end_to_end(spark, tmp_path_factory):
     world = World(seed=42, n_hosts=4, base_pages=40)
     seeds = world.seeds()

@@ -145,7 +145,14 @@ def write_lsh_index(
     import os
 
     planes = _auto_planes(embeddings, planes)
-    lsh_index(embeddings, dims, planes, id_col, vec_col).write.mode(
+    # repartition by signature BEFORE the partitioned write: otherwise
+    # every input task writes a file into up to 2^planes bucket dirs
+    # (tasks × buckets small files — a filesystem DoS at scale); after
+    # the shuffle each bucket is one task's contiguous write, so the
+    # index is one file per bucket and the probe read opens exactly the
+    # probed buckets' files
+    idx = lsh_index(embeddings, dims, planes, id_col, vec_col)
+    idx.repartition(F.col("sig")).write.mode(
         "overwrite"
     ).partitionBy("sig").parquet(path)
     meta = {
