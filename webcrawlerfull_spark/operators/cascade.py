@@ -25,6 +25,8 @@ order, plus per-page ``page_stats`` scalars (A1 inputs).
 
 from __future__ import annotations
 
+
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -138,6 +140,33 @@ def _seq_generated(products_sorted: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+_static_cache: dict = {}
+
+
+def _static_cascade_cols() -> dict:
+    """The cascade's big Column trees built ONCE per SparkContext. They
+    reference columns by NAME only (unresolved expressions), so the same
+    objects re-apply to every round's pages DataFrame. Building them is
+    pure driver-side work — hundreds of nested F.* calls, each a py4j
+    round trip — and measured ~0.7 s per call, which the crawl paid
+    EVERY round (a pure fixed cost that scaling can't touch). Cached,
+    it's paid once per context (keyed on the active SparkContext so a
+    stop/start cycle in tests never reuses stale JVM references)."""
+    from pyspark import SparkContext
+
+    key = id(SparkContext._active_spark_context)
+    if key not in _static_cache:
+        urls = _link_urls(F.col("link_spans"))
+        cfg_key = P.config_key(P.url_authority(F.col("url")))
+        _static_cache.clear()
+        _static_cache[key] = {
+            "simple_arr": _matched_products(urls, P.SIMPLE_COMBINED),
+            "config_arr": _config_products(urls, cfg_key),
+            "seq_arr": _seq_generated(F.col("products_sorted")),
+        }
+    return _static_cache[key]
+
+
 def run_cascade(
     pages: DataFrame, ai_candidates: Column | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -151,8 +180,7 @@ def run_cascade(
     runs iff the cumulative product set after config is still under the
     early-exit threshold (tasks.py:630-633). None (default) keeps the
     reference-parity stub behavior: the ai slot contributes nothing."""
-    urls = _link_urls(F.col("link_spans"))
-    key = P.config_key(P.url_authority(F.col("url")))
+    static = _static_cascade_cols()
 
     enriched = (
         pages.where(F.col("status") == "ok")
@@ -162,8 +190,8 @@ def run_cascade(
             "domain",
             "depth",
             "queue_pos",
-            _matched_products(urls, P.SIMPLE_COMBINED).alias("simple_arr"),
-            _config_products(urls, key).alias("config_arr"),
+            static["simple_arr"].alias("simple_arr"),
+            static["config_arr"].alias("config_arr"),
             (ai_candidates if ai_candidates is not None else F.array().cast("array<string>")).alias("ai_arr"),
         )
         .withColumn("config_ran", F.size("simple_arr") < C.CASCADE_EARLY_EXIT)
@@ -191,7 +219,7 @@ def run_cascade(
             "products_sorted",
             F.array_sort(F.concat("simple_arr", "config_only", "ai_only")),
         )
-        .withColumn("seq_arr", _seq_generated(F.col("products_sorted")))
+        .withColumn("seq_arr", static["seq_arr"])
     )
 
     def tagged(arr: str, parser: str) -> Column:
