@@ -87,6 +87,42 @@ def main() -> None:
     timings["crawl_3_rounds"] = round(crawl_wall, 3)
     urls_per_sec = round(fetched / crawl_wall, 2) if crawl_wall else 0.0
 
+    # ---- scale-mode crawl (opt-in: WCF_BENCH_SCALE_MODE=<budget>) --------
+    # The north-rule scale path on the same world: per-host politeness
+    # budget, bloom-gated seen filtering, periodic MERGE-style state
+    # compaction. Reported under separate keys so the driver's headline
+    # (value/queries) stays comparable across rounds. Budgeted crawls run
+    # until the frontier drains, so wall time is bounded with max_rounds
+    # (WCF_BENCH_SCALE_ROUNDS, default 6) rather than relying on the
+    # budget being large enough to finish quickly.
+    scale_extra: dict = {}
+    scale_budget = os.environ.get("WCF_BENCH_SCALE_MODE")
+    if scale_budget:
+        scale_rounds = int(os.environ.get("WCF_BENCH_SCALE_ROUNDS", "6"))
+        with tempfile.TemporaryDirectory() as tmp:
+            cat2 = Catalog(spark, os.path.join(tmp, "cat2"))
+            cfg2 = CrawlConfig(
+                max_depth=3,
+                politeness_budget=int(scale_budget),
+                use_bloom=True,
+                compact_every=3,
+                shuffle_partitions=cpus,
+            )
+            t0 = time.monotonic()
+            res2 = crawl(
+                spark, world.seeds(), cfg2, world, cat2,
+                max_rounds=scale_rounds,
+            )
+            wall2 = time.monotonic() - t0
+            fetched2 = res2.lineage.agg(F.sum("fetched")).collect()[0][0] or 0
+            scale_extra = {
+                "scale_crawl_wall": round(wall2, 3),
+                "scale_rounds": res2.rounds_run,
+                "scale_fetched": int(fetched2),
+                "scale_urls_per_sec": round(fetched2 / wall2, 2) if wall2 else 0.0,
+                "scale_budget": int(scale_budget),
+            }
+
     # ---- operator queries ----------------------------------------------------
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
@@ -109,6 +145,7 @@ def main() -> None:
                 "round_walls": round_walls,
                 "crawl_products": int(products),
                 "cpus": cpus,
+                **scale_extra,
             }
         )
     )

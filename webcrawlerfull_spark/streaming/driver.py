@@ -25,7 +25,7 @@ import sys
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from webcrawlerfull_spark import schemas
@@ -156,11 +156,19 @@ def _run_rounds(
     seen_total: int,
     hard_stop: int,
 ) -> CrawlResult:
+    # the frontier row count steers adaptive partitioning and the empty-
+    # frontier stop; after the first round it is OBSERVED during the
+    # next-frontier write instead of re-counted (one fewer job per round)
+    next_frontier_size: int | None = None
     while round_id < hard_stop:
         if max_rounds is not None and rounds_run >= max_rounds:
             break
         frontier = catalog.read_round("frontier", round_id)
-        frontier_size = frontier.count()
+        frontier_size = (
+            next_frontier_size
+            if next_frontier_size is not None
+            else frontier.count()
+        )
         if frontier_size == 0:
             break
         # adaptive per-round partitioning: a 600-row round 0 must not run
@@ -243,7 +251,20 @@ def _run_rounds(
         pages = fetch_and_parse(
             to_fetch, world, extra_cols=["queue_pos"], materialize_spans=False
         )
-        catalog.write_round(pages, "documents", round_id)
+        # documents has exactly one row per scheduled URL, so observing
+        # the write action yields both lineage counts with no extra job
+        obs_docs = Observation()
+        catalog.write_round(
+            pages.observe(
+                obs_docs,
+                F.count(F.lit(1)).alias("fetched"),
+                F.count(F.when(F.col("status") == "ok", F.lit(1))).alias(
+                    "parsed"
+                ),
+            ),
+            "documents",
+            round_id,
+        )
         docs = catalog.read_round("documents", round_id)
 
         clock.lap("fetch+parse+write-documents")
@@ -284,7 +305,14 @@ def _run_rounds(
             "depth",
             F.lit(round_id).alias("round"),
         )
-        catalog.write_round(new_products, "products", round_id)
+        obs_products = Observation()
+        catalog.write_round(
+            new_products.observe(
+                obs_products, F.count(F.lit(1)).alias("products")
+            ),
+            "products",
+            round_id,
+        )
 
         clock.lap("attribution+products")
 
@@ -295,19 +323,24 @@ def _run_rounds(
         )
         if cfg.politeness_budget is not None:
             next_frontier = merge_deferred(next_frontier, _deferred, seen)
-        catalog.write_round(next_frontier, "frontier", round_id + 1)
+        obs_frontier = Observation()
+        catalog.write_round(
+            next_frontier.observe(
+                obs_frontier, F.count(F.lit(1)).alias("rows")
+            ),
+            "frontier",
+            round_id + 1,
+        )
+        next_frontier_size = int(obs_frontier.get["rows"])
 
         clock.lap("next-frontier")
 
         # lineage LAST = the commit marker (A7 metrics, north-rule set).
-        # documents has exactly one row per scheduled URL, so one agg job
-        # yields both fetch and parse counts.
-        counts = docs.agg(
-            F.count("*").alias("fetched"),
-            F.count(F.when(F.col("status") == "ok", F.lit(1))).alias("parsed"),
-        ).collect()[0]
-        fetched, parsed = counts["fetched"], counts["parsed"]
-        n_products = catalog.read_round("products", round_id).count()
+        # All three counters were observed during this round's write
+        # actions — no dedicated counting jobs.
+        fetched = int(obs_docs.get["fetched"])
+        parsed = int(obs_docs.get["parsed"])
+        n_products = int(obs_products.get["products"])
         seen_total += fetched
         seen_card = seen_total
         wall_ms = int((time.monotonic() - t0) * 1000)
