@@ -71,6 +71,17 @@ def _config_products(urls: Column, key: Column) -> Column:
     return expr
 
 
+def _tagged(arr: str, parser: str) -> Column:
+    return F.transform(
+        F.col(arr),
+        lambda u: F.struct(
+            u.alias("url"),
+            F.lit(parser).alias("parser"),
+            F.lit(PARSER_RANK[parser]).alias("parser_rank"),
+        ),
+    )
+
+
 def _pat_idx(u: Column) -> Column:
     """Index of the first sequential-number pattern this URL matches."""
     expr = F.lit(_NO_PATTERN)
@@ -143,26 +154,146 @@ def _seq_generated(products_sorted: Column) -> Column:
 _static_cache: dict = {}
 
 
-def _static_cascade_cols() -> dict:
-    """The cascade's big Column trees built ONCE per SparkContext. They
-    reference columns by NAME only (unresolved expressions), so the same
-    objects re-apply to every round's pages DataFrame. Building them is
-    pure driver-side work — hundreds of nested F.* calls, each a py4j
-    round trip — and measured ~0.7 s per call, which the crawl paid
-    EVERY round (a pure fixed cost that scaling can't touch). Cached,
-    it's paid once per context (keyed on the active SparkContext so a
-    stop/start cycle in tests never reuses stale JVM references)."""
+def _static_cascade_layers() -> dict:
+    """The cascade's Column trees built ONCE per SparkContext as LAYERED
+    select lists. Two fixed costs die here:
+
+    1. Construction: hundreds of nested F.* calls, each a py4j round
+       trip, measured ~0.7 s per call — the crawl paid it EVERY round (a
+       pure fixed cost that scaling can't touch). Cached, it's paid once
+       per context (keyed on the active SparkContext so a stop/start
+       cycle in tests never reuses stale JVM references).
+    2. Tree size: the page's anchor-url array (``_urls``) and the domain
+       config key (``_cfg_key`` — a parse_url + rlike when-chain) used
+       to be inlined at every use site, so ``config_arr`` carried SIX
+       copies of the key chain and every downstream tree transitively
+       re-embedded them. Materializing both as helper columns in the
+       first layer makes later trees reference them by NAME; they are
+       non-cheap multi-use expressions, so Catalyst's CollapseProject
+       keeps the projects separate instead of re-inlining — analysis,
+       canonicalization, and interpreted eval all shrink ~6x.
+
+    Layers are applied as chained selects; each entry is the FULL column
+    list for one select (same-select aliases can't reference each other,
+    so each dependency level is its own layer)."""
     from pyspark import SparkContext
 
     key = id(SparkContext._active_spark_context)
     if key not in _static_cache:
-        urls = _link_urls(F.col("link_spans"))
-        cfg_key = P.config_key(P.url_authority(F.col("url")))
+        urls = F.col("_urls")
+        page_cols = [F.col(c) for c in PAGE_COLS]
+        carry2 = page_cols + [F.col("ai_arr")]
+        empty = F.array().cast("array<string>")
         _static_cache.clear()
         _static_cache[key] = {
-            "simple_arr": _matched_products(urls, P.SIMPLE_COMBINED),
-            "config_arr": _config_products(urls, cfg_key),
-            "seq_arr": _seq_generated(F.col("products_sorted")),
+            # L1 (over ok pages): page cols + the two shared helpers;
+            # ai_arr is appended by the caller (it may carry a stand-in
+            # expression over the raw page row)
+            "l1": [
+                F.col("url").alias("page_url"),
+                F.col("host"),
+                F.col("domain"),
+                F.col("depth"),
+                F.col("queue_pos"),
+                _link_urls(F.col("link_spans")).alias("_urls"),
+                P.config_key(P.url_authority(F.col("url"))).alias("_cfg_key"),
+            ],
+            # L2: parser arrays from the helpers (helpers dropped here)
+            "l2": carry2
+            + [
+                _matched_products(urls, P.SIMPLE_COMBINED).alias("simple_arr"),
+                _config_products(urls, F.col("_cfg_key")).alias("config_arr"),
+            ],
+            # L3: early-exit flags + config delta
+            "l3": carry2
+            + [
+                F.col("simple_arr"),
+                F.col("config_arr"),
+                (F.size("simple_arr") < C.CASCADE_EARLY_EXIT).alias(
+                    "config_ran"
+                ),
+            ],
+            "l4": carry2
+            + [
+                F.col("simple_arr"),
+                F.col("config_arr"),
+                F.col("config_ran"),
+                F.when(
+                    F.col("config_ran"),
+                    F.array_except("config_arr", "simple_arr"),
+                )
+                .otherwise(empty)
+                .alias("config_only"),
+            ],
+            "l5": carry2
+            + [
+                F.col("simple_arr"),
+                F.col("config_arr"),
+                F.col("config_ran"),
+                F.col("config_only"),
+                (
+                    (F.size("simple_arr") + F.size("config_only"))
+                    < C.CASCADE_EARLY_EXIT
+                ).alias("ai_ran"),
+            ],
+            "l6": carry2
+            + [
+                F.col("simple_arr"),
+                F.col("config_arr"),
+                F.col("config_ran"),
+                F.col("config_only"),
+                F.col("ai_ran"),
+                F.when(
+                    F.col("ai_ran"),
+                    F.array_except(
+                        F.col("ai_arr"), F.concat("simple_arr", "config_only")
+                    ),
+                )
+                .otherwise(empty)
+                .alias("ai_only"),
+            ],
+            # L7 restores the historical enriched column ORDER exactly
+            "l7": page_cols
+            + [
+                F.col("simple_arr"),
+                F.col("config_arr"),
+                F.col("ai_arr"),
+                F.col("config_ran"),
+                F.col("config_only"),
+                F.col("ai_ran"),
+                F.col("ai_only"),
+                F.array_sort(
+                    F.concat("simple_arr", "config_only", "ai_only")
+                ).alias("products_sorted"),
+            ],
+            "l8_seq": _seq_generated(F.col("products_sorted")).alias(
+                "seq_arr"
+            ),
+            "mentions_explode": F.explode(
+                F.concat(
+                    _tagged("simple_arr", "simple"),
+                    _tagged("config_only", "config"),
+                    _tagged("ai_only", "ai"),
+                    _tagged("seq_arr", "sequential"),
+                )
+            ).alias("m"),
+            "page_stats_cols": page_cols
+            + [
+                F.size("simple_arr").alias("simple_found"),
+                F.when(F.col("config_ran"), F.size("config_arr"))
+                .otherwise(F.lit(0))
+                .alias("config_found"),
+                F.when(F.col("ai_ran"), F.size("ai_arr"))
+                .otherwise(F.lit(0))
+                .alias("ai_found"),
+                F.size("seq_arr").alias("seq_found"),
+            ],
+            "page_stats_filter": (
+                (F.col("simple_found") > 0)
+                | (F.col("config_found") > 0)
+                | (F.col("ai_found") > 0)
+                | (F.col("seq_found") > 0)
+            ),
         }
     return _static_cache[key]
 
@@ -180,82 +311,30 @@ def run_cascade(
     runs iff the cumulative product set after config is still under the
     early-exit threshold (tasks.py:630-633). None (default) keeps the
     reference-parity stub behavior: the ai slot contributes nothing."""
-    static = _static_cascade_cols()
+    layers = _static_cascade_layers()
 
+    ai_col = (
+        ai_candidates
+        if ai_candidates is not None
+        else F.array().cast("array<string>")
+    )
     enriched = (
         pages.where(F.col("status") == "ok")
-        .select(
-            F.col("url").alias("page_url"),
-            "host",
-            "domain",
-            "depth",
-            "queue_pos",
-            static["simple_arr"].alias("simple_arr"),
-            static["config_arr"].alias("config_arr"),
-            (ai_candidates if ai_candidates is not None else F.array().cast("array<string>")).alias("ai_arr"),
-        )
-        .withColumn("config_ran", F.size("simple_arr") < C.CASCADE_EARLY_EXIT)
-        .withColumn(
-            "config_only",
-            F.when(
-                F.col("config_ran"),
-                F.array_except("config_arr", "simple_arr"),
-            ).otherwise(F.array().cast("array<string>")),
-        )
-        .withColumn(
-            "ai_ran",
-            (F.size("simple_arr") + F.size("config_only")) < C.CASCADE_EARLY_EXIT,
-        )
-        .withColumn(
-            "ai_only",
-            F.when(
-                F.col("ai_ran"),
-                F.array_except(
-                    F.col("ai_arr"), F.concat("simple_arr", "config_only")
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        )
-        .withColumn(
-            "products_sorted",
-            F.array_sort(F.concat("simple_arr", "config_only", "ai_only")),
-        )
-        .withColumn("seq_arr", static["seq_arr"])
+        .select(*layers["l1"], ai_col.alias("ai_arr"))
+        .select(*layers["l2"])
+        .select(*layers["l3"])
+        .select(*layers["l4"])
+        .select(*layers["l5"])
+        .select(*layers["l6"])
+        .select(*layers["l7"])
+        .withColumn("seq_arr", layers["l8_seq"])
     )
 
-    def tagged(arr: str, parser: str) -> Column:
-        return F.transform(
-            F.col(arr),
-            lambda u: F.struct(
-                u.alias("url"),
-                F.lit(parser).alias("parser"),
-                F.lit(PARSER_RANK[parser]).alias("parser_rank"),
-            ),
-        )
-
     mentions = enriched.select(
-        *PAGE_COLS,
-        F.explode(
-            F.concat(
-                tagged("simple_arr", "simple"),
-                tagged("config_only", "config"),
-                tagged("ai_only", "ai"),
-                tagged("seq_arr", "sequential"),
-            )
-        ).alias("m"),
+        *PAGE_COLS, layers["mentions_explode"]
     ).select(*PAGE_COLS, "m.url", "m.parser", "m.parser_rank")
 
-    page_stats = enriched.select(
-        *PAGE_COLS,
-        F.size("simple_arr").alias("simple_found"),
-        F.when(F.col("config_ran"), F.size("config_arr"))
-        .otherwise(F.lit(0))
-        .alias("config_found"),
-        F.when(F.col("ai_ran"), F.size("ai_arr")).otherwise(F.lit(0)).alias("ai_found"),
-        F.size("seq_arr").alias("seq_found"),
-    ).where(
-        (F.col("simple_found") > 0)
-        | (F.col("config_found") > 0)
-        | (F.col("ai_found") > 0)
-        | (F.col("seq_found") > 0)
+    page_stats = enriched.select(*layers["page_stats_cols"]).where(
+        layers["page_stats_filter"]
     )
     return mentions, page_stats, enriched
