@@ -188,3 +188,46 @@ def test_streaming_micro_batch_events(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_crawl_invariant_under_parallelism(spark, tmp_path_factory):
+    """North-rule determinism: the crawl's seen set, per-round lineage
+    counters, and attributed products are IDENTICAL whatever the
+    partitioning — the same job at N and 4N executors must produce the
+    same crawl, or the two-cluster-size comparison is meaningless. Run
+    the budgeted scale path (politeness + bloom + compaction, the shape
+    with the most shuffle/window machinery) at shuffle_partitions=2 and
+    =16 and compare full result sets, not just counts."""
+    world = World(seed=77, n_hosts=4, base_pages=50)
+    seeds = world.seeds()
+    results = []
+    for parts in (2, 16):
+        cat = Catalog(spark, str(tmp_path_factory.mktemp(f"par{parts}")))
+        res = crawl(
+            spark,
+            seeds,
+            CrawlConfig(
+                max_depth=2,
+                politeness_budget=5,
+                use_bloom=True,
+                compact_every=2,
+                shuffle_partitions=parts,
+                salt_partitions=parts,
+            ),
+            world,
+            cat,
+        )
+        results.append(res)
+    a, b = results
+    assert a.rounds_run == b.rounds_run > 2
+    seen_a = {(r["url"], r["round"]) for r in a.seen.collect()}
+    seen_b = {(r["url"], r["round"]) for r in b.seen.collect()}
+    assert seen_a == seen_b
+    lin_cols = ["round", "frontier_size", "seen_cardinality", "fetched", "parsed", "products"]
+    lin_a = sorted(tuple(r[c] for c in lin_cols) for r in a.lineage.collect())
+    lin_b = sorted(tuple(r[c] for c in lin_cols) for r in b.lineage.collect())
+    assert lin_a == lin_b
+    prod_cols = ["domain", "url", "parser", "depth", "round"]
+    prod_a = sorted(tuple(r[c] for c in prod_cols) for r in a.products.collect())
+    prod_b = sorted(tuple(r[c] for c in prod_cols) for r in b.products.collect())
+    assert prod_a == prod_b
