@@ -19,7 +19,7 @@ system (what to match), transcribed from:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # --- product-URL patterns (SimpleParser / "default" config key) -----------
 PATTERNS: list[str] = [
