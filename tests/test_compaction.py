@@ -91,3 +91,48 @@ def test_bloom_touched_only_delta_and_reconstruction(spark):
         r["bucket_id"]: bytes(r["filter_bytes"]) for r in full2.collect()
     }
     assert recon == expect
+
+
+def test_mid_round_crash_resume(spark, tmp_path_factory):
+    """Crash AFTER a round's state writes but BEFORE its lineage commit
+    marker: resume must discard every partial table for that round
+    (including the bloom delta and the next frontier it already wrote),
+    redo it, and converge to the uninterrupted run — with no URL
+    fetched twice across committed rounds."""
+    import shutil as _sh
+
+    world = World(seed=42, n_hosts=4, base_pages=40)
+    seeds = world.seeds()
+    base = dict(
+        max_depth=3, politeness_budget=None, use_bloom=True,
+        shuffle_partitions=8,
+    )
+
+    cat_ref = Catalog(spark, str(tmp_path_factory.mktemp("ref")))
+    res_ref = crawl(spark, seeds, CrawlConfig(**base), world, cat_ref)
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("crash")))
+    crawl(spark, seeds, CrawlConfig(**base), world, cat, max_rounds=2)
+    # simulate the crash: round 1's lineage never landed, everything
+    # else for round 1 (scheduled/seen/documents/mentions/page_stats/
+    # products/seen_bloom + frontier r=2) is on disk
+    _sh.rmtree(cat._dir("lineage", 1))
+    assert cat.max_committed_round() == 0
+    pre_seen_r1 = {r["url"] for r in cat.read_round("seen", 1).collect()}
+    assert pre_seen_r1  # the partial state really exists
+
+    res = crawl(spark, seeds, CrawlConfig(**base), world, cat)
+    assert res.rounds_run == 2  # rounds 1 and 2 redone
+    assert _snap(res) == _snap(res_ref)
+    lin_ref = sorted(
+        (r["round"], r["fetched"], r["products"])
+        for r in res_ref.lineage.collect()
+    )
+    lin = sorted(
+        (r["round"], r["fetched"], r["products"])
+        for r in res.lineage.collect()
+    )
+    assert lin == lin_ref
+    # no URL appears in two seen rounds (the no-refetch invariant)
+    seen_rows = res.seen.groupBy("url").count()
+    assert seen_rows.where(F.col("count") > 1).count() == 0
