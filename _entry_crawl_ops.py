@@ -299,17 +299,27 @@ _CASCADE_CACHE: dict = {}
 def _cascade_products(spark, sf_dir):
     # memoized per (session, sf_dir): the cascade corpus plan is shared
     # by several gate entries and re-planning it per entry dominated the
-    # gate's tail (the r3 driver run recorded only the first 50 rows)
-    key = (id(spark), sf_dir)
-    if key not in _CASCADE_CACHE:
+    # gate's tail (the r3 driver run recorded only the first 50 rows).
+    # Single-slot: switching sf_dir (or session) evicts and unpersists
+    # the prior entry so cached partitions never accumulate, and the key
+    # holds the session itself (strong ref, identity-compared) so a
+    # stop/start cycle can't resurrect a stale entry via id() reuse.
+    cached = _CASCADE_CACHE.get("key")
+    if cached is None or cached[0] is not spark or cached[1] != sf_dir:
+        for df in _CASCADE_CACHE.get("value", ())[1:]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # dead session: nothing to unpersist
         mentions, page_stats, _ = run_cascade(_pages_corpus(spark, sf_dir))
         products = first_touch(
             mentions, ["queue_pos", "parser_rank"], ["domain", "url"]
         )
-        _CASCADE_CACHE[key] = (
+        _CASCADE_CACHE["key"] = (spark, sf_dir)
+        _CASCADE_CACHE["value"] = (
             mentions, page_stats.persist(), products.persist()
         )
-    return _CASCADE_CACHE[key]
+    return _CASCADE_CACHE["value"]
 
 
 def _q_a1_a5_parser_attribution(spark, sf_dir):

@@ -63,15 +63,20 @@ def main() -> int:
 
     builder = SparkSession.builder.appName("webcrawlerfull-spark-submit")
     spark = builder.getOrCreate()
-    # engine-required settings, only when the submit conf didn't set them
+    # engine-required settings, only when the submit command didn't set
+    # them explicitly. spark.conf.get(k) is NOT a usable probe here: for
+    # registered SQL confs it returns the built-in default instead of
+    # raising, so an except-branch fallback never fires and Arrow stays
+    # off under a bare spark-submit. An explicit --conf (or
+    # spark-defaults entry) lands in the SparkContext's SparkConf, which
+    # reports only what was actually set.
+    submitted = spark.sparkContext.getConf()
     for k, v in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
     ):
-        try:
-            spark.conf.get(k)
-        except Exception:
+        if not submitted.contains(k):
             spark.conf.set(k, v)
 
     shuffle = args.shuffle_partitions or int(

@@ -152,6 +152,11 @@ def test_indexed_dims_and_column_validation(spark, sf_dir, tmp_path):
     os.remove(os.path.join(path, "_ann_meta.json"))
     with pytest.raises(ValueError, match="legacy"):
         SIM.lsh_topk_indexed(spark, path, qv, k=3, planes=6)
+    # ... and omitting planes must raise the same way — a silent
+    # planes=8 default would probe a 6-plane index with 8-bit
+    # signatures and return garbage (VERDICT r4 item 3)
+    with pytest.raises(ValueError, match="planes"):
+        SIM.lsh_topk_indexed(spark, path, qv, dims=dims, k=3)
     # ... and passing everything explicitly still works
     got = SIM.lsh_topk_indexed(
         spark, path, qv, dims=dims, k=3, planes=6

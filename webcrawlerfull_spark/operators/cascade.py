@@ -178,14 +178,19 @@ def _static_cascade_layers() -> dict:
     so each dependency level is its own layer)."""
     from pyspark import SparkContext
 
-    key = id(SparkContext._active_spark_context)
-    if key not in _static_cache:
+    # validate by IDENTITY against a STRONG reference to the context the
+    # cache was built for: keying on id() alone lets CPython reuse a
+    # dead context's id after a stop/start cycle and resurrect Column
+    # trees wrapping py4j refs into the dead gateway
+    ctx = SparkContext._active_spark_context
+    if _static_cache.get("ctx") is not ctx:
         urls = F.col("_urls")
         page_cols = [F.col(c) for c in PAGE_COLS]
         carry2 = page_cols + [F.col("ai_arr")]
         empty = F.array().cast("array<string>")
         _static_cache.clear()
-        _static_cache[key] = {
+        _static_cache["ctx"] = ctx
+        _static_cache["layers"] = {
             # L1 (over ok pages): page cols + the two shared helpers;
             # ai_arr is appended by the caller (it may carry a stand-in
             # expression over the raw page row)
@@ -295,7 +300,7 @@ def _static_cascade_layers() -> dict:
                 | (F.col("seq_found") > 0)
             ),
         }
-    return _static_cache[key]
+    return _static_cache["layers"]
 
 
 def run_cascade(

@@ -214,7 +214,10 @@ def lsh_topk_indexed(
             )
         return given
 
-    planes = _resolve("planes", planes) or 8
+    # planes gets the same required-treatment as dims: a silent default
+    # on a legacy meta-less index is exactly the wrong-signature-scheme
+    # garbage this guard exists to prevent
+    planes = _resolve("planes", planes, required=True)
     dims = _resolve("dims", dims, required=True)
     id_col = _resolve("id_col", id_col) or "vec_id"
     vec_col = _resolve("vec_col", vec_col) or "embedding"

@@ -256,8 +256,22 @@ class IcebergCatalog:
         spark.sql(
             f"CREATE NAMESPACE IF NOT EXISTS {catalog_name}.{namespace}"
         )
+        self._sweep_compaction_scratch()
 
     TABLES = Catalog.TABLES
+
+    def _sweep_compaction_scratch(self) -> None:
+        """Recovery mirror of the parquet Catalog's
+        _finish_pending_compactions: a crash between compact()'s scratch
+        create() and its final DROP leaks a tmp_compact_<table> table
+        that no other path cleans up (it is not in TABLES). The scratch
+        is only ever an uncommitted intermediate — the target table is
+        untouched until the single atomic overwrite — so dropping it on
+        open (and on destroy) is always safe."""
+        for table in self.TABLES:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._tbl(f'tmp_compact_{table}')}"
+            )
 
     def _tbl(self, table: str) -> str:
         return f"{self.catalog_name}.{self.namespace}.{table}"
@@ -394,6 +408,7 @@ class IcebergCatalog:
             self.spark.sql(f"DROP TABLE {self._tbl(table)}")
 
     def destroy(self) -> None:
+        self._sweep_compaction_scratch()
         for table in self.TABLES:
             if self._exists(table):
                 self.spark.sql(f"DROP TABLE {self._tbl(table)}")
