@@ -3,6 +3,7 @@ touched-bucket-only bloom deltas (VERDICT r1 item 7)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from webcrawlerfull_spark.config import CrawlConfig
@@ -114,8 +115,9 @@ def test_mid_round_crash_resume(spark, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("crash")))
     crawl(spark, seeds, CrawlConfig(**base), world, cat, max_rounds=2)
     # simulate the crash: round 1's lineage never landed, everything
-    # else for round 1 (scheduled/seen/documents/mentions/page_stats/
-    # products/seen_bloom + frontier r=2) is on disk
+    # else for round 1 (scheduled/documents/mentions/page_stats/
+    # products/seen_bloom + frontier r=2) is on disk (seen is derived
+    # from scheduled, so its partial slice exists implicitly)
     _sh.rmtree(cat._dir("lineage", 1))
     assert cat.max_committed_round() == 0
     pre_seen_r1 = {r["url"] for r in cat.read_round("seen", 1).collect()}
@@ -136,3 +138,80 @@ def test_mid_round_crash_resume(spark, tmp_path_factory):
     # no URL appears in two seen rounds (the no-refetch invariant)
     seen_rows = res.seen.groupBy("url").count()
     assert seen_rows.where(F.col("count") > 1).count() == 0
+
+
+@pytest.fixture(scope="module")
+def crash_template(spark, tmp_path_factory):
+    """Shared inputs for the crash-window matrix: the uninterrupted
+    reference run plus a 2-round catalog snapshot that each window test
+    copies and mutilates (rebuilding both per window would triple the
+    matrix's wall time)."""
+    world = World(seed=42, n_hosts=4, base_pages=40)
+    seeds = world.seeds()
+    base = dict(
+        max_depth=3, politeness_budget=None, use_bloom=True,
+        shuffle_partitions=8,
+    )
+    cat_ref = Catalog(spark, str(tmp_path_factory.mktemp("wref")))
+    res_ref = crawl(spark, seeds, CrawlConfig(**base), world, cat_ref)
+    snap_ref = _snap(res_ref)
+    lin_ref = sorted(
+        (r["round"], r["fetched"], r["products"])
+        for r in res_ref.lineage.collect()
+    )
+    tmpl = str(tmp_path_factory.mktemp("wtmpl"))
+    crawl(
+        spark, seeds, CrawlConfig(**base), world, Catalog(spark, tmpl),
+        max_rounds=2,
+    )
+    return world, seeds, base, snap_ref, lin_ref, tmpl
+
+
+# Round-1 write order in the driver: scheduled -> seen_bloom ->
+# documents -> mentions -> page_stats -> products -> frontier(r=2) ->
+# lineage (commit marker). Each window = crash right after one of those
+# writes; the dirs present are exactly the prefix. (The former
+# scheduled-vs-seen window no longer exists: seen is derived from
+# scheduled, so the two can never disagree.)
+_WINDOWS = {
+    "after_scheduled": ("scheduled",),
+    "after_documents": ("scheduled", "seen_bloom", "documents"),
+    "after_products": (
+        "scheduled", "seen_bloom", "documents", "mentions", "page_stats",
+        "products",
+    ),
+}
+
+
+@pytest.mark.parametrize("window", sorted(_WINDOWS))
+def test_mid_round_crash_window_matrix(
+    spark, tmp_path_factory, crash_template, window
+):
+    """Every partial-state window inside a round resumes to the
+    uninterrupted run's exact state (VERDICT r4 item 8): whatever prefix
+    of round 1's writes landed before the crash, resume discards it past
+    the round-0 commit marker and redoes rounds 1-2 identically."""
+    import shutil as _sh
+
+    world, seeds, base, snap_ref, lin_ref, tmpl = crash_template
+    root = str(tmp_path_factory.mktemp(f"w_{window}"))
+    _sh.rmtree(root)
+    _sh.copytree(tmpl, root)
+    cat = Catalog(spark, root)
+    present = _WINDOWS[window]
+    _sh.rmtree(cat._dir("lineage", 1))
+    _sh.rmtree(cat._dir("frontier", 2), ignore_errors=True)
+    for t in ("seen_bloom", "documents", "mentions", "page_stats", "products"):
+        if t not in present:
+            _sh.rmtree(cat._dir(t, 1), ignore_errors=True)
+    assert cat.max_committed_round() == 0
+
+    res = crawl(spark, seeds, CrawlConfig(**base), world, cat)
+    assert res.rounds_run == 2
+    assert _snap(res) == snap_ref
+    lin = sorted(
+        (r["round"], r["fetched"], r["products"])
+        for r in res.lineage.collect()
+    )
+    assert lin == lin_ref
+    assert res.seen.groupBy("url").count().where(F.col("count") > 1).count() == 0

@@ -91,6 +91,7 @@ def test_compact_is_staged_single_overwrite(spark, monkeypatch):
     monkeypatch.setattr(
         cat, "read_all", lambda table, up_to_round=None: StubDF()
     )
+    monkeypatch.setattr(cat, "_exists", lambda table: True)
 
     assert cat.compact("products", 2, ["task_id", "domain", "url"]) is True
 

@@ -32,8 +32,28 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _seen_projection(scheduled: DataFrame) -> DataFrame:
+    """The seen slice a scheduled slice implies: (url, round) where
+    round is the round the URL was scheduled/fetched (the ``fetch_round``
+    data column the driver stamps at schedule time — the ``round`` data
+    column is the frontier GENERATION, which differs for deferred
+    carry-over rows in budgeted mode)."""
+    return scheduled.select("url", F.col("fetch_round").alias("round"))
+
+
 class Catalog:
     TABLES = ("frontier", "seen", "scheduled", "documents", "products", "lineage", "mentions", "page_stats", "seen_bloom")
+
+    # ``seen`` is a DERIVED table: a round's seen slice is exactly the
+    # url projection of that round's scheduled slice (the driver marks
+    # before fetching, reference tasks.py:438-440), so no per-round seen
+    # write happens at all — one fewer Spark job per round, which is the
+    # dominant cost of a small budgeted round (VERDICT r4 item 1:
+    # per-round fixed overhead is the budgeted-mode scale killer).
+    # Physical seen dirs exist only as COMPACTION outputs: the slim
+    # (url, round) merge of everything at-or-below the boundary. Reads
+    # stitch [physical seen dirs] ∪ [scheduled dirs past the boundary,
+    # projected via the fetch_round data column].
 
     def __init__(self, spark: SparkSession, base: str):
         self.spark = spark
@@ -57,9 +77,23 @@ class Catalog:
         return os.path.exists(os.path.join(d, "_SUCCESS"))
 
     def read_round(self, table: str, round_id: int) -> DataFrame:
+        if table == "seen" and not self.has_round("seen", round_id):
+            # derived: this round's scheduled slice, projected (the
+            # parquet scan is column-pruned to url + fetch_round)
+            return _seen_projection(self.read_round("scheduled", round_id))
         return self.spark.read.parquet(self._dir(table, round_id))
 
     def committed_rounds(self, table: str) -> list[int]:
+        if table == "seen":
+            phys = self._dir_rounds("seen")
+            base = max(phys, default=-1)
+            return sorted(
+                set(phys)
+                | {r for r in self._dir_rounds("scheduled") if r > base}
+            )
+        return self._dir_rounds(table)
+
+    def _dir_rounds(self, table: str) -> list[int]:
         d = self._dir(table)
         if not os.path.isdir(d):
             return []
@@ -72,6 +106,8 @@ class Catalog:
         return sorted(out)
 
     def read_all(self, table: str, up_to_round: int | None = None) -> DataFrame | None:
+        if table == "seen":
+            return self._read_seen(up_to_round)
         rounds = self.committed_rounds(table)
         if up_to_round is not None:
             rounds = [r for r in rounds if r <= up_to_round]
@@ -80,6 +116,39 @@ class Catalog:
         paths = [self._dir(table, r) for r in rounds]
         df = self.spark.read.option("basePath", self._dir(table)).parquet(*paths)
         return df.drop("r")
+
+    def _read_seen(self, up_to_round: int | None) -> DataFrame | None:
+        phys = self._dir_rounds("seen")
+        if up_to_round is not None:
+            phys = [r for r in phys if r <= up_to_round]
+        base = max(phys, default=-1)
+        sched = [
+            r
+            for r in self._dir_rounds("scheduled")
+            if r > base and (up_to_round is None or r <= up_to_round)
+        ]
+        parts = []
+        if phys:
+            paths = [self._dir("seen", r) for r in phys]
+            parts.append(
+                self.spark.read.option("basePath", self._dir("seen"))
+                .parquet(*paths)
+                .drop("r")
+            )
+        if sched:
+            paths = [self._dir("scheduled", r) for r in sched]
+            df = (
+                self.spark.read.option("basePath", self._dir("scheduled"))
+                .parquet(*paths)
+                .drop("r")
+            )
+            parts.append(_seen_projection(df))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_all_with_round(
         self, table: str, up_to_round: int | None = None
@@ -312,6 +381,10 @@ class IcebergCatalog:
         )
 
     def read_round(self, table: str, round_id: int) -> DataFrame:
+        if table == "seen" and not self.has_round("seen", round_id):
+            # derived from scheduled (see parquet Catalog: the seen
+            # table is only materialized by compaction)
+            return _seen_projection(self.read_round("scheduled", round_id))
         return (
             self.spark.table(self._tbl(table))
             .where(F.col("_r") == round_id)
@@ -319,6 +392,15 @@ class IcebergCatalog:
         )
 
     def committed_rounds(self, table: str) -> list[int]:
+        if table == "seen":
+            phys = self._tbl_rounds("seen")
+            base = max(phys, default=-1)
+            return sorted(
+                set(phys) | {r for r in self._tbl_rounds("scheduled") if r > base}
+            )
+        return self._tbl_rounds(table)
+
+    def _tbl_rounds(self, table: str) -> list[int]:
         if not self._exists(table):
             return []
         return sorted(
@@ -330,12 +412,40 @@ class IcebergCatalog:
         )
 
     def read_all(self, table: str, up_to_round: int | None = None) -> DataFrame | None:
+        if table == "seen":
+            return self._read_seen(up_to_round)
         if not self._exists(table):
             return None
         df = self.spark.table(self._tbl(table))
         if up_to_round is not None:
             df = df.where(F.col("_r") <= up_to_round)
         return df.drop("_r")
+
+    def _read_seen(self, up_to_round: int | None) -> DataFrame | None:
+        phys = self._tbl_rounds("seen")
+        if up_to_round is not None:
+            phys = [r for r in phys if r <= up_to_round]
+        base = max(phys, default=-1)
+        parts = []
+        if phys:
+            parts.append(
+                self.spark.table(self._tbl("seen"))
+                .where(F.col("_r") <= base)
+                .drop("_r")
+            )
+        if self._exists("scheduled"):
+            sched = self.spark.table(self._tbl("scheduled")).where(
+                F.col("_r") > base
+            )
+            if up_to_round is not None:
+                sched = sched.where(F.col("_r") <= up_to_round)
+            parts.append(_seen_projection(sched.drop("_r")))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_all_with_round(
         self, table: str, up_to_round: int | None = None
@@ -384,9 +494,16 @@ class IcebergCatalog:
         scratch = self._tbl(f"tmp_compact_{table}")
         self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
         df.withColumn("_r", F.lit(up_to)).writeTo(scratch).create()
-        self.spark.table(scratch).writeTo(self._tbl(table)).overwrite(
-            F.col("_r") <= up_to
-        )
+        if self._exists(table):
+            self.spark.table(scratch).writeTo(self._tbl(table)).overwrite(
+                F.col("_r") <= up_to
+            )
+        else:
+            # first materialization of a derived table (seen): nothing
+            # to overwrite — create it from the staged rows
+            self.spark.table(scratch).writeTo(self._tbl(table)).partitionedBy(
+                F.col("_r")
+            ).create()
         self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
         return True
 

@@ -160,6 +160,11 @@ def _run_rounds(
     # frontier stop; after the first round it is OBSERVED during the
     # next-frontier write instead of re-counted (one fewer job per round)
     next_frontier_size: int | None = None
+    # the bloom hash-scheme check is one take(1) job and the scheme
+    # cannot go stale MID-run (this driver only writes current-scheme
+    # deltas), so validate persisted state once per crawl()/resume
+    # invocation, not once per round
+    scheme_checked = False
     while round_id < hard_stop:
         if max_rounds is not None and rounds_run >= max_rounds:
             break
@@ -179,7 +184,11 @@ def _run_rounds(
         seen_filters = None
         if cfg.use_bloom and round_id > 0:
             seen_filters = catalog.read_bloom(up_to_round=round_id - 1)
-            if seen_filters is not None and not scheme_ok(seen_filters):
+            if (
+                seen_filters is not None
+                and not scheme_checked
+                and not scheme_ok(seen_filters)
+            ):
                 # persisted filters were written by an OLDER in-bucket
                 # hash family (or predate versioning): probing their
                 # bytes with the current hashes would yield silent false
@@ -199,6 +208,7 @@ def _run_rounds(
                 )
                 catalog.write_round(seeded, "seen_bloom", round_id - 1)
                 seen_filters = catalog.read_bloom(up_to_round=round_id - 1)
+            scheme_checked = True
 
         t0 = time.monotonic()
         clock = _StageClock(round_id)
@@ -215,16 +225,18 @@ def _run_rounds(
         scheduled_raw, _deferred = politeness_schedule(
             unseen, cfg.politeness_budget, cfg.salt_partitions
         )
-        # scheduled table FIRST (mark-before-fetch, tasks.py:438-440); the
-        # seen table is its url projection. Not committed until lineage
+        # scheduled table FIRST (mark-before-fetch, tasks.py:438-440).
+        # The seen table is its url projection and is NOT written: the
+        # catalog derives seen from scheduled via the fetch_round stamp
+        # (one fewer job per round; the projection job was pure fixed
+        # cost on small budgeted rounds). Not committed until lineage
         # lands, so a crash mid-round is safe.
-        catalog.write_round(scheduled_raw, "scheduled", round_id)
-        scheduled = catalog.read_round("scheduled", round_id)
         catalog.write_round(
-            scheduled.select("url").withColumn("round", F.lit(round_id)),
-            "seen",
+            scheduled_raw.withColumn("fetch_round", F.lit(round_id)),
+            "scheduled",
             round_id,
         )
+        scheduled = catalog.read_round("scheduled", round_id)
         if cfg.use_bloom:
             # touched-bucket-only delta (the MERGE shape): the reader
             # reconstructs live state as latest-row-per-bucket, so a
@@ -236,7 +248,7 @@ def _run_rounds(
             )
             catalog.write_round(new_filters, "seen_bloom", round_id)
 
-        clock.lap("schedule+seen+bloom")
+        clock.lap("schedule+bloom")
 
         # ---- stage 2: fetch+parse ONCE -> the durable interleaved-docs
         # table (the input_hint payload). Every downstream consumer reads
