@@ -142,6 +142,20 @@ def main() -> None:
     # ---- operator queries ----------------------------------------------------
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
+        if name == "ann_lsh_topk":
+            # build and probe timed SEPARATELY (BENCH protocol note in
+            # BENCH/BASELINE.md): ann_index_build is the one-time
+            # repartition-by-sig shuffle + partitioned write, amortized
+            # over every later query; ann_lsh_topk is PROBE-ONLY from
+            # round 5 on (r3/r4 values for this key timed build+probe)
+            t0 = time.monotonic()
+            idx_path = entrymod.ann_index_build(spark, sf_dir)
+            timings["ann_index_build"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            n = entrymod.ann_probe(spark, sf_dir, idx_path).count()
+            timings[name] = round(time.monotonic() - t0, 3)
+            assert n >= 0
+            continue
         t0 = time.monotonic()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
