@@ -465,32 +465,63 @@ def _q_s9_s10_file_sinks(spark, sf_dir):
 
 
 def _q_crawl_e2e_lineage(spark, sf_dir):
-    """S1/S2/S4/S11 + A6/A7 — a real end-to-end crawl over a small fixed
-    synthetic world; returns the per-round lineage (frontier size, fetch/
-    parse counts, products). Rows-only for the driver (a BFS crawl is not
-    SQL-expressible); the strong equality check is the pytest parity
-    suite against the vendored reference crawler."""
+    """S1/S2/S4/S11 + A6/A7 + cross-round doc dedup — two real
+    end-to-end crawls over small fixed synthetic worlds, stacked
+    (sentinel convention, driver gate caps at 50 entries):
+
+    - variant='parity': the reference-parity crawl (dedup off); per-
+      round frontier size, fetch/parse counts, first-touch products.
+    - variant='dedup': the same world SHAPE but with MirrorWorld content
+      duplicates (every odd product renders its even twin's page
+      verbatim) and ``doc_dedup=True`` in EXACT-ONLY mode (dedup_bands=0
+      — pure fingerprint accounting, so the oracle can replay it in
+      Python); per-round docs_deduped from lineage; products sentinel -1
+      (dedup-mode attribution is pytest's job, test_doc_dedup_crawl).
+
+    Both oracled against the VENDORED reference crawler + parser
+    (oracle/refcrawler, refparser.parse_spans) — value-hash equality."""
     import tempfile
 
     from webcrawlerfull_spark.config import CrawlConfig
     from webcrawlerfull_spark.sources.catalog import Catalog
     from webcrawlerfull_spark.streaming.driver import crawl
-    from webcrawlerfull_spark.synthgen import World
+    from webcrawlerfull_spark.synthgen import MirrorWorld, World
 
     world = World(seed=11, n_hosts=3, base_pages=30)
+    mworld = MirrorWorld(seed=11, n_hosts=3, base_pages=30)
     with tempfile.TemporaryDirectory() as tmp:
         cat = Catalog(spark, os.path.join(tmp, "cat"))
         cfg = CrawlConfig(max_depth=3, shuffle_partitions=8)
         res = crawl(spark, world.seeds(), cfg, world, cat)
         rows = (
             res.lineage.select(
-                "round", "frontier_size", "fetched", "parsed", "products"
+                F.lit("parity").alias("variant"),
+                "round", "frontier_size", "fetched", "parsed", "products",
+                "docs_deduped",
+            )
+            .orderBy("round")
+            .collect()
+        )
+        cat2 = Catalog(spark, os.path.join(tmp, "cat2"))
+        cfg2 = CrawlConfig(
+            max_depth=3, shuffle_partitions=8, doc_dedup=True,
+            dedup_k=16, dedup_bands=0,
+        )
+        res2 = crawl(spark, mworld.seeds(), cfg2, mworld, cat2)
+        rows += (
+            res2.lineage.select(
+                F.lit("dedup").alias("variant"),
+                "round", "frontier_size", "fetched", "parsed",
+                F.lit(-1).cast("long").alias("products"),
+                "docs_deduped",
             )
             .orderBy("round")
             .collect()
         )
     return spark.createDataFrame(
-        rows, "round int, frontier_size long, fetched long, parsed long, products long"
+        rows,
+        "variant string, round int, frontier_size long, fetched long, "
+        "parsed long, products long, docs_deduped long",
     )
 
 
@@ -710,21 +741,84 @@ def _e2e_expected_lineage_sql() -> str:
             sum(1 for dep in r.first_found_depth.values() if dep == d)
             for r in results.values()
         )
-        rows.append((d, frontier, fetched, fetched - failed, products))
+        rows.append(("parity", d, frontier, fetched, fetched - failed, products, 0))
         if fetched == 0:
             break
+    rows += _e2e_dedup_expected_rows()
     values = ", ".join(
-        f"({r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]})" for r in rows
+        f"('{r[0]}', {r[1]}, {r[2]}, {r[3]}, {r[4]}, {r[5]}, {r[6]})"
+        for r in rows
     )
     return f"""
-        SELECT CAST(round AS INTEGER) AS round,
+        SELECT CAST(variant AS VARCHAR) AS variant,
+               CAST(round AS INTEGER) AS round,
                CAST(frontier_size AS BIGINT) AS frontier_size,
                CAST(fetched AS BIGINT) AS fetched,
                CAST(parsed AS BIGINT) AS parsed,
-               CAST(products AS BIGINT) AS products
+               CAST(products AS BIGINT) AS products,
+               CAST(docs_deduped AS BIGINT) AS docs_deduped
         FROM (VALUES {values})
-             AS t(round, frontier_size, fetched, parsed, products)
+             AS t(variant, round, frontier_size, fetched, parsed, products,
+                  docs_deduped)
     """
+
+
+def _e2e_dedup_expected_rows() -> list:
+    """Expected per-round lineage for the dedup e2e variant, replayed in
+    pure Python: the vendored crawler gives the per-depth fetch
+    schedule over the MirrorWorld; each ok page's text is the vendored
+    parser's span texts joined by ' ' (exactly the engine's
+    concat_ws(' ', texts)); exact-only dedup (dedup_bands=0) is then
+    cumulative distinct-fingerprint accounting — a round drops every ok
+    doc whose normalized-text md5 was already kept (prior rounds or a
+    lower-id doc in this round). Products are sentinel -1 (see the
+    query docstring)."""
+    import hashlib
+    import re as _re
+    from urllib.parse import urlparse
+
+    from webcrawlerfull_spark.oracle import refcrawler as rc
+    from webcrawlerfull_spark.oracle import refparser as rp
+    from webcrawlerfull_spark.synthgen import MirrorWorld
+
+    world = MirrorWorld(seed=11, n_hosts=3, base_pages=30)
+    results = rc.crawl(world, world.seeds(), max_depth=3)
+    rows = []
+    kept_fps: set[str] = set()
+    for d in range(3):
+        frontier = sum(
+            r.frontier_sizes[d] if d < len(r.frontier_sizes) else 0
+            for r in results.values()
+        )
+        if frontier == 0:
+            break
+        fetched_urls = [
+            u
+            for r in results.values()
+            for dep, u in r.fetch_schedule
+            if dep == d
+        ]
+        failed = sum(r.failed_by_depth.get(d, 0) for r in results.values())
+        round_fps = []
+        for url in fetched_urls:
+            html = world.fetch(url)
+            if html is None:
+                continue  # failed fetch: status!='ok', not a dedup input
+            spans = rp.parse_spans(html, url, urlparse(url).netloc)
+            text = " ".join(s["text"] for s in spans if s["text"] is not None)
+            round_fps.append(
+                hashlib.md5(
+                    _re.sub(r"\s+", " ", text).lower().encode()
+                ).hexdigest()
+            )
+        dropped = len(round_fps) - len(set(round_fps) - kept_fps)
+        kept_fps |= set(round_fps)
+        rows.append(
+            ("dedup", d, frontier, len(fetched_urls), len(round_fps), -1, dropped)
+        )
+        if not fetched_urls:
+            break
+    return rows
 
 
 def crawl_ops_oracles() -> dict:

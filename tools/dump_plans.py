@@ -53,6 +53,27 @@ def main() -> None:
     sched, deferred = politeness_schedule(frontier, budget=5, salt_partitions=8)
     merged = merge_deferred(nf, deferred, seen)
 
+    # the crawl driver's per-round doc-dedup write (stage 2b): delta over
+    # a persisted signature frame vs a one-round prior state
+    from webcrawlerfull_spark.operators.textdedup import (
+        dedup_signatures,
+        incremental_dedup_delta,
+    )
+
+    ok_docs = pages.where(F.col("status") == "ok").select(
+        "doc_id", F.concat_ws(" ", "texts").alias("_text")
+    )
+    dd_sigs = dedup_signatures(ok_docs, "doc_id", "_text", 16, 4).persist()
+    dd_state = spark.createDataFrame(
+        [("fp", "", "", "x" * 32, -1, ""), ("band", "", "", "", 0, "y" * 32)],
+        "kind string, doc_id string, status string, fp string, "
+        "band_id int, band_hash string",
+    )
+    dd_delta = incremental_dedup_delta(
+        ok_docs, dd_state, id_col="doc_id", text_col="_text", k=16, bands=4,
+        sigs=dd_sigs,
+    )
+
     sections = [
         (
             "cascade → mentions (per-page semantics, zero shuffle until explode)",
@@ -87,6 +108,16 @@ def main() -> None:
             "partial aggregate (max) joined back. The old shape re-ranked "
             "deferred+fresh with an unsalted per-domain window, sorting an "
             "ever-growing hot-domain slice in one task.",
+        ),
+        (
+            "crawl doc-dedup round delta (stage 2b, one write per round)",
+            dd_delta,
+            "Expect: every branch of the three-way Union (verdicts / kept "
+            "fps / kept bands) reads the PERSISTED signature frame "
+            "(InMemoryTableScan) — the round's text is scanned ONCE to "
+            "build it; prior rounds contribute only fixed-width hash keys "
+            "(fp md5 / band md5) through semi/left joins. No text column "
+            "appears anywhere in this plan.",
         ),
         (
             "operator query: p5_product_match at sf0.01",

@@ -160,3 +160,19 @@ class CrawlConfig:
     # products/seen round dirs into one (bounds read amplification on a
     # long crawl); None disables (parity mode / short runs)
     compact_every: int | None = None
+    # cross-round document dedup (the interleaved-docs curation stage):
+    # each round's fetched docs are classified exact_dup / near_dup /
+    # kept against the accumulated fingerprint+MinHash-band state
+    # (operators.textdedup.incremental_dedup_delta — the doc analogue of
+    # the URL-seen bloom state); non-kept docs are excluded from the
+    # parser cascade (mentions/products) but still feed link discovery,
+    # and lineage gains a docs_deduped counter. Off = reference parity
+    # (the reference has no content dedup). dedup_k/dedup_bands tune the
+    # MinHash width (production default 64/16; tests drop to 16/4 —
+    # same rows-per-band, ~4x less hashing per doc). dedup_bands=0 is
+    # exact-only mode: no MinHash state at all, pure fingerprint
+    # accounting (the oracle-replicable configuration used by the
+    # crawl_e2e_lineage gate entry's dedup variant).
+    doc_dedup: bool = False
+    dedup_k: int = 64
+    dedup_bands: int = 16

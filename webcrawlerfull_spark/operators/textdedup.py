@@ -39,17 +39,26 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles(text_col, n: int = 3):
-    """n-token shingles over whitespace tokens (native higher-order fns)."""
+    """n-token shingles over whitespace tokens (native array exprs).
+
+    Built by zipping the token array with its own shifted slices — NOT
+    by indexing with ``element_at`` inside a ``transform`` lambda. A
+    lambda body re-evaluates captured non-bound expressions once per
+    ELEMENT, so the indexing form re-ran the whole-text regex split per
+    shingle: quadratic in document length (measured ~1.3 s/doc on 15 KB
+    pages vs ~50 ms for this form, identical output)."""
     toks = tokens(F.lower(text_col))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    win = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, win)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, win),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, acc).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
 
 
 def minhash_signature(text_col, k: int = DEFAULT_K):
@@ -182,12 +191,117 @@ def dedup_state(
     ~16 bytes (fp) + ``bands`` band hashes per kept doc, so round k+1
     dedups against it without rescanning any prior round's text."""
     fps = docs.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
-    b = (
-        lsh_bands(docs, id_col, text_col, k, bands)
-        .select("band_id", "band_hash")
-        .distinct()
-    )
+    if bands <= 0:
+        # exact-only mode (bands=0): no near-dup state — the oracle-
+        # replicable configuration (pure fingerprint accounting)
+        b = docs.sparkSession.createDataFrame(
+            [], "band_id int, band_hash string"
+        )
+    else:
+        b = (
+            lsh_bands(docs, id_col, text_col, k, bands)
+            .select("band_id", "band_hash")
+            .distinct()
+        )
     return fps, b
+
+
+def dedup_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, _fp, _bands) — ONE scan of the text yielding everything the
+    incremental dedup path needs: the exact-dedup fingerprint plus the
+    LSH band-hash array (empty for content-free docs, whose NULL MinHash
+    signature carries no shingle evidence; empty for bands=0 exact-only
+    mode). The per-doc record is fixed-width (~16 B + 32 B × bands), so
+    callers that consume it from several branches persist THIS instead
+    of rescanning text."""
+    empty = F.array().cast("array<string>")
+    if bands <= 0:
+        return docs.select(
+            F.col(id_col),
+            fingerprint(F.col(text_col)).alias("_fp"),
+            empty.alias("_bands"),
+        )
+    r = k // bands
+    with_sig = docs.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("_fp"),
+        minhash_signature(F.col(text_col), k).alias("_sig"),
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.element_at(F.col("_sig"), b * r + i + 1) for i in range(r)]
+            )
+        )
+        for b in range(bands)
+    ]
+    return with_sig.select(
+        F.col(id_col),
+        "_fp",
+        F.when(F.col("_sig").isNotNull(), F.array(*band_cols))
+        .otherwise(empty)
+        .alias("_bands"),
+    )
+
+
+def _label_against_state(
+    sigs: DataFrame,
+    state_fps: DataFrame | None,
+    state_bands: DataFrame | None,
+    id_col: str,
+) -> DataFrame:
+    """Shared incremental-dedup core over a ``dedup_signatures`` frame:
+    adds ``_exact`` (fp in state, or a lower-id doc in this batch shares
+    it — keep-first) and ``_near`` (≥1 band shared with the state) to
+    each sig row. Hash-key joins only; text is never touched."""
+    reps = sigs.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
+    labeled = sigs.join(reps, "_fp")
+    if state_fps is not None:
+        labeled = labeled.join(
+            state_fps.select(
+                F.col("fp").alias("_fp"), F.lit(True).alias("_in_state")
+            ),
+            "_fp",
+            "left",
+        )
+    else:
+        labeled = labeled.withColumn("_in_state", F.lit(None).cast("boolean"))
+    is_exact = (F.col(id_col) != F.col("_rep")) | F.coalesce(
+        "_in_state", F.lit(False)
+    )
+    labeled = labeled.withColumn("_exact", is_exact)
+    if state_bands is not None:
+        sb = labeled.where(~F.col("_exact")).select(
+            F.col(id_col),
+            F.posexplode("_bands").alias("band_id", "band_hash"),
+        )
+        near_ids = (
+            sb.join(state_bands, ["band_id", "band_hash"], "left_semi")
+            .select(F.col(id_col).alias("_nid"))
+            .distinct()
+            .withColumn("_near", F.lit(True))
+        )
+        labeled = labeled.join(
+            near_ids, labeled[id_col] == F.col("_nid"), "left"
+        ).drop("_nid")
+    else:
+        labeled = labeled.withColumn("_near", F.lit(None).cast("boolean"))
+    return labeled
+
+
+def _verdict_col():
+    return (
+        F.when(F.col("_exact"), F.lit("exact_dup"))
+        .when(F.coalesce("_near", F.lit(False)), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status")
+    )
 
 
 def incremental_dedup(
@@ -216,46 +330,92 @@ def incremental_dedup(
     own signatures; prior text is never touched. At 10^10 docs the state
     co-partitions by its hash key, exactly like the bloom bucket state
     for URLs."""
-    with_fp = docs.select(
-        F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("_fp")
+    sigs = dedup_signatures(docs, id_col, text_col, k, bands)
+    labeled = _label_against_state(
+        sigs, state_fps, state_bands if bands > 0 else None, id_col
     )
-    reps = with_fp.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
-    labeled = with_fp.join(reps, "_fp")
-    if state_fps is not None:
-        labeled = labeled.join(
-            state_fps.select(
-                F.col("fp").alias("_fp"), F.lit(True).alias("_in_state")
-            ),
-            "_fp",
-            "left",
+    return labeled.select(F.col(id_col), _verdict_col())
+
+
+def split_dedup_state(state: DataFrame | None) -> tuple[DataFrame | None, DataFrame | None]:
+    """Unstack an ``incremental_dedup_delta`` table (any number of round
+    deltas unioned) into the (state_fps, state_bands) pair
+    ``incremental_dedup`` consumes."""
+    if state is None:
+        return None, None
+    return (
+        state.where(F.col("kind") == "fp").select("fp"),
+        state.where(F.col("kind") == "band").select("band_id", "band_hash"),
+    )
+
+
+def incremental_dedup_delta(
+    docs: DataFrame,
+    state: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """One round's dedup output as a SINGLE stacked frame — the crawl
+    driver's per-round doc-dedup write (one job, like the bloom delta):
+
+    - ``kind='verdict'`` rows: (doc_id, status) for every input doc
+      (``incremental_dedup`` semantics vs the accumulated state)
+    - ``kind='fp'`` / ``kind='band'`` rows: the KEPT docs' fingerprints
+      and LSH band hashes — the next round's state delta
+
+    Sentinels ('' / -1) fill the unused columns so the frame is
+    NULL-free (stacking convention). Round deltas union into the full
+    state; ``split_dedup_state`` unstacks for the next round.
+
+    The three row kinds all derive from ONE ``dedup_signatures`` frame;
+    the union references it from three branches, so callers should pass
+    a PERSISTED ``sigs`` (the crawl driver does) — otherwise each branch
+    re-scans the text for its MinHash. Scale shape: hash-key joins only,
+    prior text never rescanned; the state rows per round are O(kept docs
+    × bands), fixed-width."""
+    state_fps, state_bands = split_dedup_state(state)
+    if sigs is None:
+        sigs = dedup_signatures(docs, id_col, text_col, k, bands)
+    labeled = _label_against_state(
+        sigs, state_fps, state_bands if bands > 0 else None, id_col
+    )
+    verdicts = labeled.select(F.col(id_col), _verdict_col())
+    kept_sigs = labeled.where(
+        ~F.col("_exact") & ~F.coalesce("_near", F.lit(False))
+    )
+    s_int = F.lit(-1).cast("int")
+    v_rows = verdicts.select(
+        F.lit("verdict").alias("kind"),
+        F.col(id_col).alias("doc_id"),
+        "status",
+        F.lit("").alias("fp"),
+        s_int.alias("band_id"),
+        F.lit("").alias("band_hash"),
+    )
+    fp_rows = kept_sigs.select(F.col("_fp").alias("fp")).distinct().select(
+        F.lit("fp").alias("kind"),
+        F.lit("").alias("doc_id"),
+        F.lit("").alias("status"),
+        "fp",
+        s_int.alias("band_id"),
+        F.lit("").alias("band_hash"),
+    )
+    band_rows = (
+        kept_sigs.select(F.posexplode("_bands").alias("band_id", "band_hash"))
+        .distinct()
+        .select(
+            F.lit("band").alias("kind"),
+            F.lit("").alias("doc_id"),
+            F.lit("").alias("status"),
+            F.lit("").alias("fp"),
+            F.col("band_id").cast("int").alias("band_id"),
+            "band_hash",
         )
-    else:
-        labeled = labeled.withColumn("_in_state", F.lit(None).cast("boolean"))
-    is_exact = (F.col(id_col) != F.col("_rep")) | F.coalesce(
-        "_in_state", F.lit(False)
     )
-    labeled = labeled.withColumn("_exact", is_exact)
-    survivors = labeled.where(~F.col("_exact")).select(id_col, text_col)
-    if state_bands is not None:
-        sb = lsh_bands(survivors, id_col, text_col, k, bands)
-        near_ids = (
-            sb.join(state_bands, ["band_id", "band_hash"], "left_semi")
-            .select(F.col(id_col).alias("_nid"))
-            .distinct()
-            .withColumn("_near", F.lit(True))
-        )
-        labeled = labeled.join(
-            near_ids, labeled[id_col] == F.col("_nid"), "left"
-        ).drop("_nid")
-    else:
-        labeled = labeled.withColumn("_near", F.lit(None).cast("boolean"))
-    return labeled.select(
-        F.col(id_col),
-        F.when(F.col("_exact"), F.lit("exact_dup"))
-        .when(F.coalesce("_near", F.lit(False)), F.lit("near_dup"))
-        .otherwise(F.lit("kept"))
-        .alias("status"),
-    )
+    return v_rows.unionByName(fp_rows).unionByName(band_rows)
 
 
 def connected_components(

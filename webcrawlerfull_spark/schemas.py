@@ -112,6 +112,7 @@ LINEAGE = StructType(
         StructField("fetched", LongType()),
         StructField("parsed", LongType()),
         StructField("products", LongType()),
+        StructField("docs_deduped", LongType()),
         StructField("wall_ms", LongType()),
     ]
 )

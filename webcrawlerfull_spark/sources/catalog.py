@@ -42,7 +42,7 @@ def _seen_projection(scheduled: DataFrame) -> DataFrame:
 
 
 class Catalog:
-    TABLES = ("frontier", "seen", "scheduled", "documents", "products", "lineage", "mentions", "page_stats", "seen_bloom")
+    TABLES = ("frontier", "seen", "scheduled", "documents", "products", "lineage", "mentions", "page_stats", "seen_bloom", "doc_dedup_state")
 
     # ``seen`` is a DERIVED table: a round's seen slice is exactly the
     # url projection of that round's scheduled slice (the driver marks

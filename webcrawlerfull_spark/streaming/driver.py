@@ -37,6 +37,10 @@ from webcrawlerfull_spark.operators.bloom import (
 )
 from webcrawlerfull_spark.operators.attribution import first_touch
 from webcrawlerfull_spark.operators.cascade import run_cascade
+from webcrawlerfull_spark.operators.textdedup import (
+    dedup_signatures,
+    incremental_dedup_delta,
+)
 from webcrawlerfull_spark.operators.frontier import build_next_frontier, seed_frontier
 from webcrawlerfull_spark.operators.parse_spans import fetch_and_parse
 from webcrawlerfull_spark.plans.round import (
@@ -281,8 +285,61 @@ def _run_rounds(
 
         clock.lap("fetch+parse+write-documents")
 
+        # ---- stage 2b (opt-in): cross-round document dedup ---------------
+        # the interleaved-docs curation stage: content dups are excluded
+        # from the parser cascade, but ALL fetched pages still feed link
+        # discovery (dedup curates documents, not the crawl graph). One
+        # write per round (verdicts + the kept docs' fp/band state delta
+        # in one stacked frame), mirroring the bloom touched-bucket
+        # shape; the dropped count is observed on that same write.
+        docs_for_cascade = docs
+        docs_deduped = 0
+        if cfg.doc_dedup:
+            dd_state = catalog.read_all(
+                "doc_dedup_state", up_to_round=round_id - 1
+            )
+            ok_docs = docs.where(F.col("status") == "ok").select(
+                "doc_id", F.concat_ws(" ", "texts").alias("_text")
+            )
+            # one text scan per round: the per-doc signature record
+            # (fp + band hashes, fixed-width) is persisted because the
+            # stacked delta consumes it from three union branches
+            sigs = dedup_signatures(
+                ok_docs, "doc_id", "_text", cfg.dedup_k, cfg.dedup_bands
+            ).persist()
+            delta = incremental_dedup_delta(
+                ok_docs, dd_state, id_col="doc_id", text_col="_text",
+                k=cfg.dedup_k, bands=cfg.dedup_bands, sigs=sigs,
+            )
+            obs_dedup = Observation()
+            catalog.write_round(
+                delta.observe(
+                    obs_dedup,
+                    F.count(
+                        F.when(
+                            (F.col("kind") == "verdict")
+                            & (F.col("status") != "kept"),
+                            F.lit(1),
+                        )
+                    ).alias("dropped"),
+                ),
+                "doc_dedup_state",
+                round_id,
+            )
+            docs_deduped = int(obs_dedup.get["dropped"])
+            sigs.unpersist()
+            kept_ids = (
+                catalog.read_round("doc_dedup_state", round_id)
+                .where(
+                    (F.col("kind") == "verdict") & (F.col("status") == "kept")
+                )
+                .select("doc_id")
+            )
+            docs_for_cascade = docs.join(kept_ids, "doc_id", "left_semi")
+            clock.lap("doc-dedup")
+
         # ---- stage 3: cascade + seqgen + stats (narrow array exprs) -------
-        mentions, page_stats, page_arrays = run_cascade(docs)
+        mentions, page_stats, page_arrays = run_cascade(docs_for_cascade)
         page_arrays.persist()
         catalog.write_round(
             mentions.withColumn("round", F.lit(round_id)), "mentions", round_id
@@ -366,6 +423,7 @@ def _run_rounds(
                     "fetched": fetched,
                     "parsed": parsed,
                     "products": n_products,
+                    "docs_deduped": docs_deduped,
                     "wall_ms": wall_ms,
                 }
             ],
@@ -380,6 +438,9 @@ def _run_rounds(
         if cfg.compact_every and (round_id + 1) % cfg.compact_every == 0:
             catalog.compact("products", round_id, ["task_id", "domain", "url"])
             catalog.compact("seen", round_id, ["url"])
+            if cfg.doc_dedup:
+                # pure dir-merge (deltas are disjoint; no dedup keys)
+                catalog.compact("doc_dedup_state", round_id)
 
         page_arrays.unpersist()
         round_id += 1

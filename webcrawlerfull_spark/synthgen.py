@@ -292,3 +292,33 @@ class World:
             a(f"/category/c{g.randrange(params['n_categories'])}", "shop now >")
         parts.append("</body></html>")
         return "".join(parts)
+
+
+class MirrorWorld(World):
+    """World variant with deterministic CONTENT duplicates: every ODD
+    product page renders its even sibling's HTML verbatim (an exact
+    cross-URL duplicate — the syndicated/mirrored-page shape), or, with
+    ``perturb=True``, with one extra sentence appended (a near-duplicate:
+    different fingerprint, most MinHash bands shared). Used by the
+    doc-dedup crawl tests and the dedup gate entry; the crawl graph is
+    unchanged (URLs, link structure and fetch order are the base
+    World's), only page CONTENT aliases."""
+
+    def __init__(self, *args, perturb: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.perturb = perturb
+
+    def render(self, url: str) -> str:
+        c = self._classify(url)
+        if c is not None and c[1] == "product" and c[2][0] % 2 == 1:
+            host, _, (pid,) = c
+            params = self._host_params(host)
+            twin = f"https://{host}" + params["product_path"](pid - 1)
+            html = super().render(twin)
+            if self.perturb:
+                html = html.replace(
+                    "</body></html>",
+                    "<p>mirrored variant note.</p></body></html>",
+                )
+            return html
+        return super().render(url)
