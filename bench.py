@@ -130,13 +130,24 @@ def main() -> None:
                 max_rounds=scale_rounds,
             )
             wall2 = time.monotonic() - t0
-            fetched2 = res2.lineage.agg(F.sum("fetched")).collect()[0][0] or 0
+            lin2 = res2.lineage.select("round", "fetched", "wall_ms").collect()
+            fetched2 = sum(r["fetched"] for r in lin2)
             scale_extra = {
                 "scale_crawl_wall": round(wall2, 3),
                 "scale_rounds": res2.rounds_run,
                 "scale_fetched": int(fetched2),
                 "scale_urls_per_sec": round(fetched2 / wall2, 2) if wall2 else 0.0,
                 "scale_budget": int(scale_budget),
+                # per-round walls + sizes: the Amdahl evidence — the
+                # fixed (core-count-independent) share per round is
+                # derived by comparing these at two parallelism levels
+                # across budgets (round size ∝ budget)
+                "scale_round_walls": {
+                    f"round{r['round']}": r["wall_ms"] / 1000.0 for r in lin2
+                },
+                "scale_round_fetched": {
+                    f"round{r['round']}": r["fetched"] for r in lin2
+                },
             }
 
     # ---- operator queries ----------------------------------------------------

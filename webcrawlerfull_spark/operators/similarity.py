@@ -184,7 +184,7 @@ def lsh_topk_indexed(
     dims: int | None = None,
     k: int = 10,
     planes: int | None = None,
-    multi_probe: int = 1,
+    multi_probe: int | None = None,
     id_col: str | None = None,
     vec_col: str | None = None,
 ) -> DataFrame:
@@ -192,7 +192,13 @@ def lsh_topk_indexed(
     multi-probe buckets + exact in-bucket cosine top-k. ``planes`` /
     ``dims`` / column names default from the index's metadata; passing
     a conflicting ``planes`` explicitly raises (probing with the wrong
-    signature scheme would silently return garbage)."""
+    signature scheme would silently return garbage).
+
+    ``multi_probe`` defaults to ``auto_multi_probe(planes)``: Hamming-1
+    probing reads 1+planes of the 2^planes buckets — a SHRINKING
+    fraction as ``planes_for()`` scales the plane count with the corpus
+    — so the probe radius must grow with the plane count to hold recall
+    (sweep evidence: tools/ann_planes_sweep.py, BENCH/BASELINE.md)."""
     meta = read_index_meta(index_path) or {}
 
     def _resolve(name: str, given, required: bool = False):
@@ -221,6 +227,8 @@ def lsh_topk_indexed(
     dims = _resolve("dims", dims, required=True)
     id_col = _resolve("id_col", id_col) or "vec_id"
     vec_col = _resolve("vec_col", vec_col) or "embedding"
+    if multi_probe is None:
+        multi_probe = auto_multi_probe(planes)
     probes = probe_signatures(query_signature(query_vec, dims, planes), multi_probe)
     idx = spark.read.parquet(index_path).where(F.col("sig").isin(probes))
     return cosine_topk(idx, query_vec, k, id_col, vec_col)
@@ -234,6 +242,18 @@ def planes_for(n: int, target_bucket: int = 1024) -> int:
     import math
 
     return max(4, math.ceil(math.log2(max(2, n) / target_bucket)))
+
+
+def auto_multi_probe(planes: int) -> int:
+    """Probe radius scaled with the plane count: ``max(1, round(planes/8))``.
+    Hamming-m probing reads sum_{i<=m} C(planes, i) of 2^planes buckets;
+    at fixed m that fraction shrinks as ``planes_for()`` grows planes
+    with the corpus, and so does recall. The rule is derived from the
+    (planes × multi_probe) → recall sweep (tools/ann_planes_sweep.py,
+    table in BENCH/BASELINE.md): one extra flip per 8 planes holds
+    recall@10 roughly flat across plane counts while the scanned
+    fraction stays ≲1% of the corpus."""
+    return max(1, round(planes / 8))
 
 
 def _auto_planes(embeddings: DataFrame, planes: int | None) -> int:
