@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -36,6 +37,14 @@ import time
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--catalog", required=True, help="catalog base dir (resume point)")
+    p.add_argument(
+        "--iceberg-catalog", default=None, metavar="NAME",
+        help="use real Iceberg tables in the Spark catalog NAME instead "
+        "of the parquet round-dir layout (requires the "
+        "iceberg-spark-runtime jar on --jars/--packages and "
+        "spark.sql.catalog.NAME configured; --catalog then names the "
+        "table namespace)",
+    )
     p.add_argument("--task-id", default="submit")
     p.add_argument("--world-seed", type=int, default=7)
     p.add_argument("--world-hosts", type=int, default=40)
@@ -95,7 +104,17 @@ def main() -> int:
         compact_every=args.compact_every,
         shuffle_partitions=shuffle,
     )
-    cat = Catalog(spark, args.catalog)
+    if args.iceberg_catalog:
+        from webcrawlerfull_spark.sources.catalog import IcebergCatalog
+
+        # --catalog names the namespace inside the Iceberg catalog
+        cat = IcebergCatalog(
+            spark,
+            namespace=os.path.basename(args.catalog.rstrip("/")) or "crawl",
+            catalog_name=args.iceberg_catalog,
+        )
+    else:
+        cat = Catalog(spark, args.catalog)
     t0 = time.monotonic()
     res = crawl(spark, world.seeds(), cfg, world, cat, max_rounds=args.max_rounds)
     wall = time.monotonic() - t0

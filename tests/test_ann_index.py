@@ -204,3 +204,19 @@ def test_high_plane_count_recall_clustered(spark, tmp_path):
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.7, (recall, exact, approx)
+
+
+def test_auto_multi_probe_rule():
+    """Probe radius grows one flip per 8 planes (sweep-derived rule,
+    BENCH/BASELINE.md §7.1: holds recall@10 >= 0.988 across planes
+    8..20 while the scanned fraction falls with the plane count)."""
+    assert SIM.auto_multi_probe(4) == 1
+    assert SIM.auto_multi_probe(8) == 1
+    assert SIM.auto_multi_probe(12) == 2
+    assert SIM.auto_multi_probe(16) == 2
+    assert SIM.auto_multi_probe(20) == 2
+    assert SIM.auto_multi_probe(32) == 4
+    # monotone non-decreasing: a bigger corpus (more planes) never
+    # probes a narrower radius
+    radii = [SIM.auto_multi_probe(p) for p in range(4, 40)]
+    assert all(a <= b for a, b in zip(radii, radii[1:]))

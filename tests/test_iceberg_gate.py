@@ -108,3 +108,20 @@ def test_compact_is_staged_single_overwrite(spark, monkeypatch):
     assert "_r" in events[3][2] and "2" in events[3][2]
     # and the target table is never read (self-referencing overwrite)
     assert ("read", target) not in events
+
+
+def test_submit_flag_wires_iceberg_catalog(spark, tmp_path, monkeypatch):
+    """submit_crawl --iceberg-catalog NAME selects the IcebergCatalog
+    constructor (namespace = basename of --catalog) and, without the
+    runtime jar, surfaces the gate's clear RuntimeError instead of
+    silently falling back to parquet."""
+    import submit_crawl
+
+    monkeypatch.setattr(
+        submit_crawl.sys, "argv",
+        ["submit_crawl.py", "--catalog", str(tmp_path / "ns1"),
+         "--iceberg-catalog", "wcf", "--world-hosts", "2",
+         "--world-pages", "10"],
+    )
+    with pytest.raises(RuntimeError, match="iceberg"):
+        submit_crawl.main()

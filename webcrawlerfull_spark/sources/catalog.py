@@ -21,6 +21,22 @@ time-travel by round). The REAL code path exists below as
 ``overwritePartitions`` round redo, ``MERGE INTO`` upsert) behind the
 ``iceberg_available`` feature gate — a constructor swap when the jar
 and a ``spark.sql.catalog.<name>`` are configured.
+
+Vendoring the jar was re-attempted round 5: Maven Central is
+unreachable from this sandbox (HTTP 000 on
+repo1.maven.org/maven2/org/apache/iceberg/iceberg-spark-runtime-*).
+One-command recipe for a networked host::
+
+    curl -LO https://repo1.maven.org/maven2/org/apache/iceberg/\
+iceberg-spark-runtime-4.0_2.13/1.10.0/\
+iceberg-spark-runtime-4.0_2.13-1.10.0.jar
+    spark-submit --jars iceberg-spark-runtime-4.0_2.13-1.10.0.jar \
+      --conf spark.sql.catalog.wcf=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.wcf.type=hadoop \
+      --conf spark.sql.catalog.wcf.warehouse=/tmp/wcf_warehouse \
+      submit_crawl.py --iceberg-catalog wcf ...
+
+(tests/test_iceberg_gate.py pins the statement flow until then).
 """
 
 from __future__ import annotations
