@@ -157,7 +157,8 @@ def main() -> None:
         buckets = defaultdict(list)
         for r in sig_rows:
             buckets[r["sig"]].append(r["vec_id"])
-        mismatches = 0
+        order_mismatches = 0
+        set_mismatches = 0
         t0 = time.monotonic()
         for qi, qv in enumerate(queries):
             got = [
@@ -169,14 +170,20 @@ def main() -> None:
             ca = np.array(cand) if cand else np.array([], dtype=int)
             sim_top = list(ca[np.argsort(-cos_all[ca, qi])[:10]]) if cand else []
             if got != [int(x) for x in sim_top]:
-                mismatches += 1
+                # rank swaps between near-tied cosines (JVM vs numpy
+                # float summation order — observed 2e-7 apart) are
+                # expected; different MEMBERSHIP would be a real bug
+                order_mismatches += 1
+            if set(got) != {int(x) for x in sim_top}:
+                set_mismatches += 1
         probe_wall = (time.monotonic() - t0) / n_queries
         out["real_index"] = {
             "planes": pf,
             "multi_probe": mp,
             "build_sec": round(build, 2),
             "probe_sec_mean": round(probe_wall, 3),
-            "engine_vs_sim_mismatches": mismatches,
+            "engine_vs_sim_order_mismatches": order_mismatches,
+            "engine_vs_sim_set_mismatches": set_mismatches,
         }
     print(json.dumps(out))
     spark.stop()

@@ -60,7 +60,12 @@ def main() -> None:
         incremental_dedup_delta,
     )
 
-    ok_docs = pages.where(F.col("status") == "ok").select(
+    # the driver's stage-2b shape: lazy-spans documents (primitive
+    # kinds/texts/refs arrays, materialize_spans=False)
+    pages_lazy = fetch_and_parse(
+        frontier, world, extra_cols=["queue_pos"], materialize_spans=False
+    )
+    ok_docs = pages_lazy.where(F.col("status") == "ok").select(
         "doc_id", F.concat_ws(" ", "texts").alias("_text")
     )
     dd_sigs = dedup_signatures(ok_docs, "doc_id", "_text", 16, 4).persist()
@@ -117,7 +122,11 @@ def main() -> None:
             "(InMemoryTableScan) — the round's text is scanned ONCE to "
             "build it; prior rounds contribute only fixed-width hash keys "
             "(fp md5 / band md5) through semi/left joins. No text column "
-            "appears anywhere in this plan.",
+            "appears anywhere in this plan. The state-side joins show as "
+            "static SortMergeJoin only because this demo's state is an "
+            "ExistingRDD with unknown stats; under AdaptiveSparkPlan (and "
+            "in the driver, where the state is a size-known parquet read) "
+            "AQE converts the small side to broadcast at runtime.",
         ),
         (
             "operator query: p5_product_match at sf0.01",
