@@ -150,6 +150,34 @@ def main() -> None:
                 },
             }
 
+    # ---- doc-dedup crawl (opt-in: WCF_BENCH_DOC_DEDUP=1) -----------------
+    # The curation-stage cost: the SAME headline crawl with cross-round
+    # content dedup on (exact fp + MinHash bands vs accumulated state).
+    # Separate keys; the per-round delta vs round_walls above is the
+    # dedup stage's marginal cost (measured ~7 s on the 600k-doc parse
+    # round at 32 cores with the persisted one-scan signature frame).
+    dedup_extra: dict = {}
+    if os.environ.get("WCF_BENCH_DOC_DEDUP"):
+        with tempfile.TemporaryDirectory() as tmp:
+            cat3 = Catalog(spark, os.path.join(tmp, "cat3"))
+            cfg3 = CrawlConfig(
+                max_depth=3, politeness_budget=None, shuffle_partitions=cpus,
+                doc_dedup=True,
+            )
+            t0 = time.monotonic()
+            res3 = crawl(spark, world.seeds(), cfg3, world, cat3)
+            wall3 = time.monotonic() - t0
+            lin3 = res3.lineage.select(
+                "round", "fetched", "docs_deduped", "wall_ms"
+            ).collect()
+            dedup_extra = {
+                "dedup_crawl_wall": round(wall3, 3),
+                "dedup_docs_deduped": int(sum(r["docs_deduped"] for r in lin3)),
+                "dedup_round_walls": {
+                    f"round{r['round']}": r["wall_ms"] / 1000.0 for r in lin3
+                },
+            }
+
     # ---- operator queries ----------------------------------------------------
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
@@ -188,6 +216,7 @@ def main() -> None:
                 "cpus": cpus,
                 "warmup_wall": warmup_wall,
                 **scale_extra,
+                **dedup_extra,
             }
         )
     )
