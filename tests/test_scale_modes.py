@@ -108,6 +108,11 @@ def test_politeness_crawl_drains_frontier(spark, tmp_path_factory):
     seen_b = {r["url"] for r in res_b.seen.collect()}
     assert res_b.rounds_run > res_a.rounds_run
     assert seen_b == seen_a
+    # J1 holds globally: no URL is ever scheduled twice across rounds
+    # (direct check of the schedule-time anti-join invariant — the seen
+    # table is the union of every round's scheduled slice)
+    all_seen = cat_b.read_all("seen")
+    assert all_seen.count() == all_seen.select("url").distinct().count()
     # budget respected per (host, round)
     for rnd in cat_b.committed_rounds("seen"):
         per_host = (

@@ -51,7 +51,7 @@ def main() -> None:
     seen = spark.createDataFrame([], schema=schemas.SEEN_EXACT)
     nf = build_next_frontier(pages, frontier, seen, 3, 0)
     sched, deferred = politeness_schedule(frontier, budget=5, salt_partitions=8)
-    merged = merge_deferred(nf, deferred, seen)
+    merged = merge_deferred(nf, deferred)
 
     # the crawl driver's per-round doc-dedup write (stage 2b): delta over
     # a persisted signature frame vs a one-round prior state

@@ -158,7 +158,7 @@ def run_round(
         seen_filters=seen_filters, cfg=cfg,
     )
     if cfg.politeness_budget is not None:
-        next_frontier = merge_deferred(next_frontier, deferred, seen)
+        next_frontier = merge_deferred(next_frontier, deferred)
 
     return RoundOutput(
         scheduled=scheduled,
@@ -170,11 +170,15 @@ def run_round(
     )
 
 
-def merge_deferred(
-    next_frontier: DataFrame, deferred: DataFrame, seen: DataFrame
-) -> DataFrame:
+def merge_deferred(next_frontier: DataFrame, deferred: DataFrame) -> DataFrame:
     """Scale mode: deferred frontier rows carry over; new discoveries that
     duplicate a deferred row are dropped (the deferred row is older).
+
+    The deferred slice needs NO seen filter here: it is a subset of this
+    round's post-anti-join ``unseen`` minus this round's ``scheduled``,
+    so it is disjoint from the seen set by construction (an anti-join
+    against seen at this point is a provable no-op — removed; it cost
+    O(|deferred|) probes of the cumulative seen state per round).
 
     queue_pos assignment is WINDOW-FREE: in budgeted mode the deferred
     set for a hot domain grows by up to (cap − budget) per round, so a
@@ -192,7 +196,6 @@ def merge_deferred(
     discovery_seq, url) and re-derives a dense fetch-order queue_pos on
     the scheduled slice, which is what attribution and the
     batch-visibility rule consume."""
-    deferred = deferred.join(seen.select("url"), "url", "left_anti")
     fresh = next_frontier.join(deferred.select("url"), "url", "left_anti")
     cols = [
         "url", "host", "domain", "depth", "priority",

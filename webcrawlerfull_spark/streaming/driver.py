@@ -32,7 +32,6 @@ from webcrawlerfull_spark import schemas
 from webcrawlerfull_spark.config import CrawlConfig
 from webcrawlerfull_spark.operators.bloom import (
     scheme_ok,
-    seen_anti_join,
     update_filters,
 )
 from webcrawlerfull_spark.operators.attribution import first_touch
@@ -221,11 +220,33 @@ def _run_rounds(
         # go to already-seen URLs (otherwise a frontier whose top-k per host
         # is all seen fetches nothing while unseen rows sit deferred). In
         # parity mode (budget None) the order is irrelevant.
+        #
+        # The J1 check here anti-joins against LAST ROUND'S scheduled
+        # slice only — NOT the cumulative seen state. Invariant (by
+        # induction over rounds; base: round 0 is seeds on an empty
+        # catalog): frontier(r) ∩ seen(r-1) ⊆ scheduled(r-1). New links
+        # entering frontier(r) were anti-joined against the FULL seen
+        # state inside build_next_frontier (bloom-prefiltered exact
+        # anti-join — no false negatives), and the only seen URLs that
+        # survive the build are those the batch-visibility rule keeps on
+        # purpose: links to URLs scheduled in a LATER batch of round r-1
+        # (tasks.py:433-440,492 — dropped by "the next round's batch
+        # filter", which is this join). Deferred rows are a subset of a
+        # prior round's post-anti-join unseen minus its scheduled slice,
+        # hence never seen. Resume-safe: the frontier table is always
+        # build-produced (or seeds), and drop_rounds_after() keeps it
+        # consistent with scheduled(r-1). At a 10^10-URL frontier this
+        # makes the schedule stage probe a budget-sized table instead of
+        # the full seen state; only link discovery (build) ever touches
+        # cumulative state, and that probe is bloom-gated.
         gated = apply_robots(frontier, robots)
-        unseen = seen_anti_join(
-            gated, seen, seen_filters, cfg.bloom_buckets,
-            cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
-        )
+        if round_id == 0:
+            unseen = gated
+        else:
+            prev_sched = catalog.read_round("scheduled", round_id - 1)
+            unseen = gated.join(
+                prev_sched.select("url"), "url", "left_anti"
+            )
         scheduled_raw, _deferred = politeness_schedule(
             unseen, cfg.politeness_budget, cfg.salt_partitions
         )
@@ -391,7 +412,7 @@ def _run_rounds(
             seen_filters=seen_filters, cfg=cfg,
         )
         if cfg.politeness_budget is not None:
-            next_frontier = merge_deferred(next_frontier, _deferred, seen)
+            next_frontier = merge_deferred(next_frontier, _deferred)
         obs_frontier = Observation()
         catalog.write_round(
             next_frontier.observe(
