@@ -28,6 +28,7 @@ def test_interface_parity():
     driver_surface = [
         "write_round", "has_round", "read_round", "committed_rounds",
         "read_all", "read_all_with_round", "read_bloom", "compact",
+        "compact_latest",
         "max_committed_round", "drop_rounds_after", "drop_table", "destroy",
     ]
     for name in driver_surface:

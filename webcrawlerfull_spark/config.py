@@ -176,3 +176,18 @@ class CrawlConfig:
     doc_dedup: bool = False
     dedup_k: int = 64
     dedup_bands: int = 16
+    # frontier layout for BUDGETED crawls (BENCH §7.5 / VERDICT r5 #1):
+    #   "merged" — re-rank + rewrite the full frontier (discoveries ∪
+    #              deferred backlog) every round; exact global politeness
+    #              order, but O(|frontier|) schedule/next-frontier work
+    #              per round — the named 10^10-scale killer.
+    #   "delta"  — append-only per-host queue (streaming.delta_frontier):
+    #              per-round work is O(|round delta|); per-host FIFO
+    #              across insertion rounds (politeness-ranked within
+    #              each), starvation-free; same crawl-level invariants
+    #              (budget, no-refetch, drain, determinism). Requires a
+    #              politeness_budget. Ignored in parity mode.
+    frontier_mode: str = "merged"
+    # frontier_q band partition width; None -> politeness_budget (a
+    # round's per-host read window then spans at most two bands)
+    frontier_band_size: int | None = None

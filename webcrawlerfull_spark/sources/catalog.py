@@ -58,7 +58,7 @@ def _seen_projection(scheduled: DataFrame) -> DataFrame:
 
 
 class Catalog:
-    TABLES = ("frontier", "seen", "scheduled", "documents", "products", "lineage", "mentions", "page_stats", "seen_bloom", "doc_dedup_state")
+    TABLES = ("frontier", "seen", "scheduled", "documents", "products", "lineage", "mentions", "page_stats", "seen_bloom", "doc_dedup_state", "frontier_q", "frontier_cursor")
 
     # ``seen`` is a DERIVED table: a round's seen slice is exactly the
     # url projection of that round's scheduled slice (the driver marks
@@ -85,19 +85,38 @@ class Catalog:
             d = os.path.join(d, f"r={round_id}")
         return d
 
-    def write_round(self, df: DataFrame, table: str, round_id: int) -> None:
-        df.write.mode("overwrite").parquet(self._dir(table, round_id))
+    def write_round(
+        self,
+        df: DataFrame,
+        table: str,
+        round_id: int,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """``partition_by`` adds sub-partition dirs under the round dir
+        (e.g. frontier_q's ``band`` — the delta-frontier read path prunes
+        on it); the round-dir overwrite idempotency is unchanged."""
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._dir(table, round_id))
 
     def has_round(self, table: str, round_id: int) -> bool:
         d = self._dir(table, round_id)
         return os.path.exists(os.path.join(d, "_SUCCESS"))
 
-    def read_round(self, table: str, round_id: int) -> DataFrame:
+    def read_round(self, table: str, round_id: int, schema=None) -> DataFrame:
         if table == "seen" and not self.has_round("seen", round_id):
             # derived: this round's scheduled slice, projected (the
             # parquet scan is column-pruned to url + fetch_round)
             return _seen_projection(self.read_round("scheduled", round_id))
-        return self.spark.read.parquet(self._dir(table, round_id))
+        reader = self.spark.read
+        if schema is not None:
+            # a partitionBy write of an EMPTY frame leaves only _SUCCESS
+            # (no part files, no footer) — schema inference fails there,
+            # so delta tables that can legitimately be empty (frontier_q
+            # on a discovery-free round) pass their declared schema
+            reader = reader.schema(schema)
+        return reader.parquet(self._dir(table, round_id))
 
     def committed_rounds(self, table: str) -> list[int]:
         if table == "seen":
@@ -195,7 +214,12 @@ class Catalog:
         )
 
     def compact(
-        self, table: str, up_to: int, dedup_keys: list[str] | None = None
+        self,
+        table: str,
+        up_to: int,
+        dedup_keys: list[str] | None = None,
+        transform=None,
+        partition_by: list[str] | None = None,
     ) -> bool:
         """MERGE-equivalent compaction (reference upsert-union,
         storage.py:140-186 / SURVEY S7+J5): rewrite every committed round
@@ -203,8 +227,11 @@ class Catalog:
         keep-first deduped on ``dedup_keys`` (rows keep their ``round``
         DATA column, so row-level lineage survives; directory-level
         time-travel below ``up_to`` is traded away — the Iceberg
-        snapshot-expiry analogue). Crash-safe: the merged data lands in a
-        committed .compact tmp dir first and ``__init__`` finishes any
+        snapshot-expiry analogue). ``transform`` (DataFrame -> DataFrame)
+        lets the caller drop dead rows during the rewrite (delta-frontier
+        consumed-row reclaim); ``partition_by`` preserves sub-partition
+        pruning across the rewrite. Crash-safe: the merged data lands in
+        a committed .compact tmp dir first and ``__init__`` finishes any
         interrupted swap."""
         rounds = [r for r in self.committed_rounds(table) if r <= up_to]
         if len(rounds) <= 1:
@@ -217,6 +244,33 @@ class Catalog:
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
             )
+        if transform is not None:
+            df = transform(df)
+        tmp = self._dir(table, None) + f"/.compact={up_to}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        for r in rounds:
+            shutil.rmtree(self._dir(table, r), ignore_errors=True)
+        os.rename(tmp, self._dir(table, up_to))
+        return True
+
+    def compact_latest(self, table: str, up_to: int, key_cols: list[str]) -> bool:
+        """Compaction for latest-row-per-key delta tables (frontier_cursor;
+        the bloom state is the same shape): rewrite rounds <= ``up_to``
+        keeping only the NEWEST row per key — the reader's
+        latest-per-key reconstruction is unchanged, just over one dir."""
+        rounds = [r for r in self.committed_rounds(table) if r <= up_to]
+        if len(rounds) <= 1:
+            return False
+        df = self.read_all_with_round(table, up_to_round=up_to)
+        w = Window.partitionBy(*key_cols).orderBy(F.col("r").desc())
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "r")
+        )
         tmp = self._dir(table, None) + f"/.compact={up_to}"
         df.write.mode("overwrite").parquet(tmp)
         for r in rounds:
@@ -258,9 +312,10 @@ class Catalog:
 
     @staticmethod
     def _should_drop(table: str, r: int, committed: int) -> bool:
-        # frontier/round=k+1 is written BY round k, keep it; everything
-        # else beyond the committed round is partial output
-        if table == "frontier":
+        # frontier/round=k+1 is written BY round k, keep it (likewise the
+        # delta-frontier queue/cursor deltas); everything else beyond the
+        # committed round is partial output
+        if table in ("frontier", "frontier_q", "frontier_cursor"):
             return r > committed + 1
         return r > committed
 
@@ -364,7 +419,13 @@ class IcebergCatalog:
     def _exists(self, table: str) -> bool:
         return self.spark.catalog.tableExists(self._tbl(table))
 
-    def write_round(self, df: DataFrame, table: str, round_id: int) -> None:
+    def write_round(
+        self,
+        df: DataFrame,
+        table: str,
+        round_id: int,
+        partition_by: list[str] | None = None,
+    ) -> None:
         t = self._tbl(table)
         df = df.withColumn("_r", F.lit(round_id))
         if self._exists(table):
@@ -372,7 +433,8 @@ class IcebergCatalog:
             # in one atomic snapshot (dynamic partition overwrite)
             df.writeTo(t).overwritePartitions()
         else:
-            df.writeTo(t).partitionedBy(F.col("_r")).create()
+            parts = [F.col("_r")] + [F.col(c) for c in (partition_by or [])]
+            df.writeTo(t).partitionedBy(*parts).create()
 
     def merge_upsert(self, df: DataFrame, table: str, keys: list[str]) -> None:
         """The literal S7 MERGE shape: insert rows whose key is absent
@@ -396,7 +458,8 @@ class IcebergCatalog:
             > 0
         )
 
-    def read_round(self, table: str, round_id: int) -> DataFrame:
+    def read_round(self, table: str, round_id: int, schema=None) -> DataFrame:
+        # schema is a no-op here: Iceberg tables always carry theirs
         if table == "seen" and not self.has_round("seen", round_id):
             # derived from scheduled (see parquet Catalog: the seen
             # table is only materialized by compaction)
@@ -485,8 +548,15 @@ class IcebergCatalog:
         )
 
     def compact(
-        self, table: str, up_to: int, dedup_keys: list[str] | None = None
+        self,
+        table: str,
+        up_to: int,
+        dedup_keys: list[str] | None = None,
+        transform=None,
+        partition_by: list[str] | None = None,
     ) -> bool:
+        # partition_by is a no-op here: the Iceberg table's partition
+        # spec was fixed at create() and survives the overwrite snapshot
         rounds = [r for r in self.committed_rounds(table) if r <= up_to]
         if len(rounds) <= 1:
             return False
@@ -498,6 +568,8 @@ class IcebergCatalog:
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
             )
+        if transform is not None:
+            df = transform(df)
         # Crash-safe two-step mirroring the parquet Catalog's .compact
         # marker: (1) stage the merged rows in a scratch table — a crash
         # here leaves the target untouched (the scratch is dropped and
@@ -523,6 +595,28 @@ class IcebergCatalog:
         self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
         return True
 
+    def compact_latest(self, table: str, up_to: int, key_cols: list[str]) -> bool:
+        """Latest-row-per-key compaction (see parquet Catalog) via the
+        same staged scratch-table + single atomic overwrite shape."""
+        rounds = [r for r in self.committed_rounds(table) if r <= up_to]
+        if len(rounds) <= 1:
+            return False
+        df = self.read_all_with_round(table, up_to_round=up_to)
+        w = Window.partitionBy(*key_cols).orderBy(F.col("r").desc())
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "r")
+        )
+        scratch = self._tbl(f"tmp_compact_{table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+        df.withColumn("_r", F.lit(up_to)).writeTo(scratch).create()
+        self.spark.table(scratch).writeTo(self._tbl(table)).overwrite(
+            F.col("_r") <= up_to
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+        return True
+
     def max_committed_round(self) -> int | None:
         rounds = self.committed_rounds("lineage")
         return max(rounds) if rounds else None
@@ -531,7 +625,11 @@ class IcebergCatalog:
         for table in self.TABLES:
             if not self._exists(table):
                 continue
-            keep = round_id + 1 if table == "frontier" else round_id
+            keep = (
+                round_id + 1
+                if table in ("frontier", "frontier_q", "frontier_cursor")
+                else round_id
+            )
             self.spark.sql(
                 f"DELETE FROM {self._tbl(table)} WHERE _r > {keep}"
             )

@@ -48,6 +48,7 @@ from webcrawlerfull_spark.plans.round import (
     politeness_schedule,
 )
 from webcrawlerfull_spark.sources.catalog import Catalog
+from webcrawlerfull_spark.streaming import delta_frontier as dfq
 from webcrawlerfull_spark.synthgen import World
 
 
@@ -109,15 +110,24 @@ def crawl(
 ) -> CrawlResult:
     """Run (or resume) a crawl to completion. ``max_rounds`` stops early
     (for resume tests); call again with the same catalog to continue."""
+    delta_mode = cfg.frontier_mode == "delta" and cfg.politeness_budget is not None
     committed = catalog.max_committed_round()
     if committed is None:
         round_id = 0
         frontier = seed_frontier(spark, seeds)
-        catalog.write_round(frontier, "frontier", 0)
+        if delta_mode:
+            dfq.bootstrap(catalog, frontier, dfq.band_size_for(cfg))
+        else:
+            catalog.write_round(frontier, "frontier", 0)
     else:
         catalog.drop_rounds_after(committed)
         round_id = committed + 1
-        if not catalog.has_round("frontier", round_id):
+        if delta_mode:
+            # finished iff the queue has drained (cursor backlog == 0)
+            cursor = dfq.read_cursor(catalog, up_to_round=round_id)
+            if dfq.backlog(cursor).pending == 0:
+                return _result(spark, catalog, rounds_run=0)
+        elif not catalog.has_round("frontier", round_id):
             # finished run: previous round produced no next frontier
             return _result(spark, catalog, rounds_run=0)
 
@@ -159,6 +169,8 @@ def _run_rounds(
     seen_total: int,
     hard_stop: int,
 ) -> CrawlResult:
+    delta_mode = cfg.frontier_mode == "delta" and cfg.politeness_budget is not None
+    band_size = dfq.band_size_for(cfg) if delta_mode else None
     # the frontier row count steers adaptive partitioning and the empty-
     # frontier stop; after the first round it is OBSERVED during the
     # next-frontier write instead of re-counted (one fewer job per round)
@@ -171,17 +183,28 @@ def _run_rounds(
     while round_id < hard_stop:
         if max_rounds is not None and rounds_run >= max_rounds:
             break
-        frontier = catalog.read_round("frontier", round_id)
-        frontier_size = (
-            next_frontier_size
-            if next_frontier_size is not None
-            else frontier.count()
-        )
+        if delta_mode:
+            # delta-frontier: backlog comes from the cursor state, not a
+            # frontier table scan; round size is budget-capped per host
+            cursor = dfq.read_cursor(catalog, up_to_round=round_id)
+            bk = dfq.backlog(cursor)
+            frontier_size = bk.pending
+            round_size = min(
+                bk.pending, cfg.politeness_budget * max(bk.pending_hosts, 1)
+            )
+        else:
+            frontier = catalog.read_round("frontier", round_id)
+            frontier_size = (
+                next_frontier_size
+                if next_frontier_size is not None
+                else frontier.count()
+            )
+            round_size = frontier_size
         if frontier_size == 0:
             break
         # adaptive per-round partitioning: a 600-row round 0 must not run
         # every one of its ~10 jobs at 32 shuffle partitions
-        n_shuffle, n_fetch = round_partitions(frontier_size, cfg)
+        n_shuffle, n_fetch = round_partitions(round_size, cfg)
         spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
         seen = catalog.read_all("seen", up_to_round=round_id - 1) or _empty_seen(spark)
         seen_filters = None
@@ -239,17 +262,33 @@ def _run_rounds(
         # makes the schedule stage probe a budget-sized table instead of
         # the full seen state; only link discovery (build) ever touches
         # cumulative state, and that probe is bloom-gated.
-        gated = apply_robots(frontier, robots)
-        if round_id == 0:
-            unseen = gated
-        else:
-            prev_sched = catalog.read_round("scheduled", round_id - 1)
-            unseen = gated.join(
-                prev_sched.select("url"), "url", "left_anti"
+        candidates = None
+        if delta_mode:
+            # delta-frontier: the round reads ONLY each pending host's
+            # next budget-sized queue slice (band-partition-pruned) and
+            # disposes all of it — robots-blocked, duplicate and
+            # already-seen rows are skipped forever, the rest fetches.
+            # No full-frontier re-rank, no prev-scheduled anti-join (the
+            # batch carve-over rows were dropped at insert time).
+            cursor = cursor.persist()
+            candidates = dfq.read_candidates(
+                catalog, cursor, cfg.politeness_budget, band_size, round_id
+            ).persist()
+            scheduled_raw = dfq.schedule_slice(
+                apply_robots(candidates, robots), seen, seen_filters, cfg
             )
-        scheduled_raw, _deferred = politeness_schedule(
-            unseen, cfg.politeness_budget, cfg.salt_partitions
-        )
+        else:
+            gated = apply_robots(frontier, robots)
+            if round_id == 0:
+                unseen = gated
+            else:
+                prev_sched = catalog.read_round("scheduled", round_id - 1)
+                unseen = gated.join(
+                    prev_sched.select("url"), "url", "left_anti"
+                )
+            scheduled_raw, _deferred = politeness_schedule(
+                unseen, cfg.politeness_budget, cfg.salt_partitions
+            )
         # scheduled table FIRST (mark-before-fetch, tasks.py:438-440).
         # The seen table is its url projection and is NOT written: the
         # catalog derives seen from scheduled via the fetch_round stamp
@@ -411,17 +450,31 @@ def _run_rounds(
             docs, scheduled, seen, cfg.max_depth, round_id, cfg.frontier_cap,
             seen_filters=seen_filters, cfg=cfg,
         )
-        if cfg.politeness_budget is not None:
-            next_frontier = merge_deferred(next_frontier, _deferred)
-        obs_frontier = Observation()
-        catalog.write_round(
-            next_frontier.observe(
-                obs_frontier, F.count(F.lit(1)).alias("rows")
-            ),
-            "frontier",
-            round_id + 1,
-        )
-        next_frontier_size = int(obs_frontier.get["rows"])
+        if delta_mode:
+            # append-only: ONE delta write sized to this round's
+            # discoveries + the touched cursor rows; the backlog is
+            # never re-ranked or rewritten (BENCH §7.5's two flat
+            # O(|frontier|) intercepts were exactly here and in the
+            # schedule read above)
+            inserted = dfq.append_delta(
+                catalog, next_frontier, scheduled, cursor, candidates,
+                band_size, round_id,
+            )
+            disposed_n = candidates.count()
+            inserted_n = inserted.count()
+            next_frontier_size = frontier_size - disposed_n + inserted_n
+        else:
+            if cfg.politeness_budget is not None:
+                next_frontier = merge_deferred(next_frontier, _deferred)
+            obs_frontier = Observation()
+            catalog.write_round(
+                next_frontier.observe(
+                    obs_frontier, F.count(F.lit(1)).alias("rows")
+                ),
+                "frontier",
+                round_id + 1,
+            )
+            next_frontier_size = int(obs_frontier.get["rows"])
 
         clock.lap("next-frontier")
 
@@ -462,14 +515,25 @@ def _run_rounds(
             if cfg.doc_dedup:
                 # pure dir-merge (deltas are disjoint; no dedup keys)
                 catalog.compact("doc_dedup_state", round_id)
+            if delta_mode:
+                # fold cursor deltas + reclaim fully-consumed queue rows
+                # (the only backlog-sized work in delta mode, amortized)
+                dfq.compact(catalog, round_id + 1, band_size)
 
         page_arrays.unpersist()
+        if delta_mode:
+            candidates.unpersist()
+            cursor.unpersist()
         round_id += 1
         rounds_run += 1
-        # fetched == 0 now implies the frontier held no unseen URLs at all
-        # (seen filtering precedes the budget), so nothing is stranded: the
-        # deferred set was empty and the next frontier is discovery-free
-        if fetched == 0:
+        # merged mode: fetched == 0 implies the frontier held no unseen
+        # URLs at all (seen filtering precedes the budget), so nothing is
+        # stranded: the deferred set was empty and the next frontier is
+        # discovery-free. Delta mode: a round CAN fetch 0 while disposing
+        # only duplicate/seen queue rows with real work still pending —
+        # stop only when the backlog is drained (the loop-top check);
+        # consumed advances every round, so the loop terminates.
+        if fetched == 0 and not (delta_mode and next_frontier_size > 0):
             break
 
     return _result(spark, catalog, rounds_run)
