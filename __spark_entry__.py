@@ -803,10 +803,41 @@ def _query_vec(spark, sf_dir):
 
 
 def _q_ann_cosine(spark, sf_dir):
+    """Two facets stacked (50-entry gate cap, sentinel-union pattern —
+    VERDICT r5 item 5):
+    - 'brute': exact brute-force cosine top-10.
+    - 'ivf_full_probe': the SAME top-10 produced through the persisted
+      IVF-flat index at nprobe = nlist. Probing every inverted list
+      makes the result exactly the brute-force answer BY CONTRACT, so
+      DuckDB can oracle it — while the Spark side still has to build
+      the k-means quantizer, write the list-partitioned index, rank
+      centroids, read the lists back and re-rank exactly. (Pruned-probe
+      recall is measured evidence, not an oracle property:
+      tests/test_ann_ivf.py + tools/ann_ivf_vs_lsh.py boundary panel.)
+    """
+    import hashlib as _hl
+    import os as _os
+
     qv = _query_vec(spark, sf_dir)
     emb = spark.table("embeddings")
-    top = SIM.cosine_topk(emb, qv, k=10)
-    return top.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+    brute = SIM.cosine_topk(emb, qv, k=10).select(
+        F.lit("brute").alias("variant"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine_r"),
+    )
+    idx_path = _os.path.join(
+        "/tmp/ann_ivf_index", _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    SIM.write_ivf_index(emb, idx_path, dims=len(qv))
+    nlist = SIM.read_index_meta(idx_path, spark)["nlist"]
+    ivf = SIM.ivf_topk_indexed(
+        spark, idx_path, qv, k=10, nprobe=nlist
+    ).select(
+        F.lit("ivf_full_probe").alias("variant"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine_r"),
+    )
+    return brute.unionByName(ivf)
 
 
 def _q_ann_batch_topk(spark, sf_dir):
@@ -1447,10 +1478,18 @@ def _extra_oracles():
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
         """,
         "ann_cosine_topk": f"""
-            SELECT vec_id, round({cos}, 4) AS cosine_r
-            FROM embeddings
-            ORDER BY {cos} DESC, vec_id
-            LIMIT 10
+            -- two stacked facets: the exact top-10, once labeled as the
+            -- brute-force path and once as the IVF full-probe path
+            -- (nprobe = nlist probes every list, so the index result is
+            -- the exact answer by contract — see _q_ann_cosine)
+            WITH top10 AS (
+              SELECT vec_id, round({cos}, 4) AS cosine_r
+              FROM embeddings
+              ORDER BY {cos} DESC, vec_id
+              LIMIT 10)
+            SELECT 'brute' AS variant, vec_id, cosine_r FROM top10
+            UNION ALL
+            SELECT 'ivf_full_probe' AS variant, vec_id, cosine_r FROM top10
         """,
         "ann_batch_topk": """
             WITH q AS (

@@ -86,21 +86,32 @@ def main() -> None:
             wcat,
         )
     warmup_wall = round(time.monotonic() - t0, 3)
-    with tempfile.TemporaryDirectory() as tmp:
-        cat = Catalog(spark, os.path.join(tmp, "cat"))
-        cfg = CrawlConfig(
-            max_depth=3, politeness_budget=None, shuffle_partitions=cpus
-        )
-        t0 = time.monotonic()
-        res = crawl(spark, world.seeds(), cfg, world, cat)
-        crawl_wall = time.monotonic() - t0
-        fetched = res.lineage.agg(F.sum("fetched")).collect()[0][0] or 0
-        products = res.products.count()
-        round_walls = {
-            f"round{r['round']}": r["wall_ms"] / 1000.0
-            for r in res.lineage.select("round", "wall_ms").collect()
-        }
-    timings["crawl_3_rounds"] = round(crawl_wall, 3)
+    # min-of-k (VERDICT r5 item 7): the 32-core crawl key swings 2-3x
+    # between identical-binary runs on this host (BENCH §7.6), so one
+    # sample per round made BENCH_rN deltas meaningless for this key.
+    # The min is the least-contended sample — the measurement closest to
+    # the engine's cost; the full list is reported for spread.
+    crawl_reps = int(os.environ.get("WCF_BENCH_CRAWL_REPS", "3"))
+    crawl_runs: list[float] = []
+    for rep in range(max(1, crawl_reps)):
+        with tempfile.TemporaryDirectory() as tmp:
+            cat = Catalog(spark, os.path.join(tmp, "cat"))
+            cfg = CrawlConfig(
+                max_depth=3, politeness_budget=None, shuffle_partitions=cpus
+            )
+            t0 = time.monotonic()
+            res = crawl(spark, world.seeds(), cfg, world, cat)
+            wall = round(time.monotonic() - t0, 3)
+            crawl_runs.append(wall)
+            if wall == min(crawl_runs):
+                crawl_wall = wall
+                fetched = res.lineage.agg(F.sum("fetched")).collect()[0][0] or 0
+                products = res.products.count()
+                round_walls = {
+                    f"round{r['round']}": r["wall_ms"] / 1000.0
+                    for r in res.lineage.select("round", "wall_ms").collect()
+                }
+    timings["crawl_3_rounds"] = min(crawl_runs)
     urls_per_sec = round(fetched / crawl_wall, 2) if crawl_wall else 0.0
 
     # ---- scale-mode crawl (opt-in: WCF_BENCH_SCALE_MODE=<budget>) --------
@@ -211,6 +222,7 @@ def main() -> None:
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
                 "urls_fetched_parsed_per_sec": urls_per_sec,
                 "crawl_fetched": int(fetched),
+                "crawl_runs": crawl_runs,
                 "round_walls": round_walls,
                 "crawl_products": int(products),
                 "cpus": cpus,

@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -107,10 +108,14 @@ def main() -> int:
     if args.iceberg_catalog:
         from webcrawlerfull_spark.sources.catalog import IcebergCatalog
 
-        # --catalog names the namespace inside the Iceberg catalog
+        # --catalog names the namespace inside the Iceberg catalog;
+        # sanitize it — path basenames often carry '-' or '.' which are
+        # invalid in an unquoted CREATE NAMESPACE identifier (ADVICE r5)
+        raw_ns = os.path.basename(args.catalog.rstrip("/")) or "crawl"
+        ns = re.sub(r"[^A-Za-z0-9_]", "_", raw_ns)
         cat = IcebergCatalog(
             spark,
-            namespace=os.path.basename(args.catalog.rstrip("/")) or "crawl",
+            namespace=ns,
             catalog_name=args.iceberg_catalog,
         )
     else:

@@ -140,17 +140,22 @@ def test_mid_round_crash_resume(spark, tmp_path_factory):
     assert seen_rows.where(F.col("count") > 1).count() == 0
 
 
-@pytest.fixture(scope="module")
-def crash_template(spark, tmp_path_factory):
+@pytest.fixture(
+    scope="module", params=[False, True], ids=["dedup_off", "dedup_on"]
+)
+def crash_template(spark, tmp_path_factory, request):
     """Shared inputs for the crash-window matrix: the uninterrupted
     reference run plus a 2-round catalog snapshot that each window test
     copies and mutilates (rebuilding both per window would triple the
-    matrix's wall time)."""
+    matrix's wall time). Parametrized over doc_dedup (VERDICT r5 item
+    8) so the doc_dedup_state partial-write window is pinned alongside
+    the others."""
+    dedup = request.param
     world = World(seed=42, n_hosts=4, base_pages=40)
     seeds = world.seeds()
     base = dict(
         max_depth=3, politeness_budget=None, use_bloom=True,
-        shuffle_partitions=8,
+        shuffle_partitions=8, doc_dedup=dedup, dedup_k=16, dedup_bands=4,
     )
     cat_ref = Catalog(spark, str(tmp_path_factory.mktemp("wref")))
     res_ref = crawl(spark, seeds, CrawlConfig(**base), world, cat_ref)
@@ -164,21 +169,23 @@ def crash_template(spark, tmp_path_factory):
         spark, seeds, CrawlConfig(**base), world, Catalog(spark, tmpl),
         max_rounds=2,
     )
-    return world, seeds, base, snap_ref, lin_ref, tmpl
+    return world, seeds, base, snap_ref, lin_ref, tmpl, dedup
 
 
 # Round-1 write order in the driver: scheduled -> seen_bloom ->
-# documents -> mentions -> page_stats -> products -> frontier(r=2) ->
-# lineage (commit marker). Each window = crash right after one of those
-# writes; the dirs present are exactly the prefix. (The former
-# scheduled-vs-seen window no longer exists: seen is derived from
-# scheduled, so the two can never disagree.)
+# documents -> [doc_dedup_state] -> mentions -> page_stats -> products
+# -> frontier(r=2) -> lineage (commit marker). Each window = crash right
+# after one of those writes; the dirs present are exactly the prefix.
+# (The former scheduled-vs-seen window no longer exists: seen is derived
+# from scheduled, so the two can never disagree.) The doc_dedup window
+# only exists in the dedup_on half of the matrix.
 _WINDOWS = {
     "after_scheduled": ("scheduled",),
     "after_documents": ("scheduled", "seen_bloom", "documents"),
+    "after_doc_dedup": ("scheduled", "seen_bloom", "documents", "doc_dedup_state"),
     "after_products": (
-        "scheduled", "seen_bloom", "documents", "mentions", "page_stats",
-        "products",
+        "scheduled", "seen_bloom", "documents", "doc_dedup_state",
+        "mentions", "page_stats", "products",
     ),
 }
 
@@ -193,7 +200,9 @@ def test_mid_round_crash_window_matrix(
     the round-0 commit marker and redoes rounds 1-2 identically."""
     import shutil as _sh
 
-    world, seeds, base, snap_ref, lin_ref, tmpl = crash_template
+    world, seeds, base, snap_ref, lin_ref, tmpl, dedup = crash_template
+    if window == "after_doc_dedup" and not dedup:
+        pytest.skip("doc_dedup_state window only exists with dedup on")
     root = str(tmp_path_factory.mktemp(f"w_{window}"))
     _sh.rmtree(root)
     _sh.copytree(tmpl, root)
@@ -201,7 +210,10 @@ def test_mid_round_crash_window_matrix(
     present = _WINDOWS[window]
     _sh.rmtree(cat._dir("lineage", 1))
     _sh.rmtree(cat._dir("frontier", 2), ignore_errors=True)
-    for t in ("seen_bloom", "documents", "mentions", "page_stats", "products"):
+    for t in (
+        "seen_bloom", "documents", "doc_dedup_state", "mentions",
+        "page_stats", "products",
+    ):
         if t not in present:
             _sh.rmtree(cat._dir(t, 1), ignore_errors=True)
     assert cat.max_committed_round() == 0

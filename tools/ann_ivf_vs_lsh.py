@@ -50,15 +50,40 @@ def main() -> None:
         "vec_id long, embedding array<double>",
     ).cache()
     emb.count()
+    # three query families (VERDICT r5 item 4 — the r5 panel was only
+    # perturbed cluster centers, IVF's best case by construction):
+    #   center   — perturbed cluster centers (queries deep inside a list)
+    #   boundary — midpoints of two random cluster centers (queries that
+    #              sit between centroids, where single-list probing is
+    #              weakest and the auto_nprobe default earns its keep)
+    #   random   — uniform-random directions (no cluster affinity at all)
     q_centers = rng.integers(0, n_clusters, size=n_queries)
-    queries = [
-        [float(x) for x in centers[c] + 0.02 * rng.normal(size=dims)]
-        for c in q_centers
-    ]
-    qmat = np.array(queries)
-    qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    cos_all = unit @ qunit.T
-    exact = {qi: set(np.argsort(-cos_all[:, qi])[:10]) for qi in range(n_queries)}
+    pair_a = rng.integers(0, n_clusters, size=n_queries)
+    pair_b = (pair_a + 1 + rng.integers(0, n_clusters - 1, size=n_queries)) % n_clusters
+    families = {
+        "center": [
+            [float(x) for x in centers[c] + 0.02 * rng.normal(size=dims)]
+            for c in q_centers
+        ],
+        "boundary": [
+            [float(x) for x in 0.5 * (centers[a] + centers[b])]
+            for a, b in zip(pair_a, pair_b)
+        ],
+        "random": [
+            [float(x) for x in rng.normal(size=dims)] for _ in range(n_queries)
+        ],
+    }
+
+    def exact_topk(queries):
+        qmat = np.array(queries)
+        qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        cos_all = unit @ qunit.T
+        return {
+            qi: set(np.argsort(-cos_all[:, qi])[:10]) for qi in range(len(queries))
+        }
+
+    queries = families["center"]
+    exact = exact_topk(queries)
 
     out = {"n": n, "dims": dims, "n_queries": n_queries}
     with tempfile.TemporaryDirectory() as tmp:
@@ -109,32 +134,37 @@ def main() -> None:
         ):
             members[r["list_id"]] = r["count"]
         auto = SIM.auto_nprobe(nlist)
-        cells = {}
-        for nprobe in sorted({1, 2, 4, 8, auto}):
-            hits = scanned = 0
-            t0 = time.monotonic()
-            for qi, qv in enumerate(queries):
-                got = {
-                    r["vec_id"]
-                    for r in SIM.ivf_topk_indexed(
-                        spark, ivf_path, qv, k=10, nprobe=nprobe
-                    ).collect()
+        fam_cells = {}
+        for fam, fam_queries in families.items():
+            fam_exact = exact if fam == "center" else exact_topk(fam_queries)
+            cells = {}
+            for nprobe in sorted({1, 2, 4, 8, auto}):
+                hits = scanned = 0
+                t0 = time.monotonic()
+                for qi, qv in enumerate(fam_queries):
+                    got = {
+                        r["vec_id"]
+                        for r in SIM.ivf_topk_indexed(
+                            spark, ivf_path, qv, k=10, nprobe=nprobe
+                        ).collect()
+                    }
+                    hits += len(fam_exact[qi] & got)
+                wall = (time.monotonic() - t0) / n_queries
+                for qv in fam_queries:
+                    lists = SIM.ivf_probe_lists(spark, ivf_path, qv, nprobe)
+                    scanned += sum(members[l] for l in lists)
+                cells[f"nprobe{nprobe}"] = {
+                    "recall_at_10": round(hits / (10 * n_queries), 3),
+                    "probe_sec_mean": round(wall, 3),
+                    "scan_frac": round(scanned / n_queries / n, 5),
                 }
-                hits += len(exact[qi] & got)
-            wall = (time.monotonic() - t0) / n_queries
-            for qv in queries:
-                lists = SIM.ivf_probe_lists(spark, ivf_path, qv, nprobe)
-                scanned += sum(members[l] for l in lists)
-            cells[f"nprobe{nprobe}"] = {
-                "recall_at_10": round(hits / (10 * n_queries), 3),
-                "probe_sec_mean": round(wall, 3),
-                "scan_frac": round(scanned / n_queries / n, 5),
-            }
+            fam_cells[fam] = cells
         out["ivf"] = {
             "nlist": nlist,
             "auto_nprobe": auto,
             "build_sec": round(ivf_build, 2),
-            "cells": cells,
+            "cells": fam_cells["center"],
+            "families": fam_cells,
         }
     print(json.dumps(out))
     spark.stop()

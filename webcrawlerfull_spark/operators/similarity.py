@@ -17,6 +17,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webcrawlerfull_spark.sources import fsutil
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -162,19 +164,25 @@ def write_lsh_index(
         "vec_col": vec_col,
         "guidance": "planes ~= log2(n / target_bucket); see planes_for()",
     }
-    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
-        json.dump(meta, f)
+    # via the JVM Hadoop FS, NOT open(): the index path may be hdfs://
+    # or s3a:// on a real cluster and the sidecar must land beside the
+    # parquet there, or the probe-side meta guard silently vanishes
+    fsutil.write_text(
+        _meta_path(path), json.dumps(meta), spark=embeddings.sparkSession
+    )
 
 
-def read_index_meta(path: str) -> dict | None:
+def _meta_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/_ann_meta.json"
+
+
+def read_index_meta(path: str, spark=None) -> dict | None:
+    """Index metadata sidecar, read through the Hadoop FS (any scheme
+    the cluster knows); ``spark`` defaults to the active session."""
     import json
-    import os
 
-    p = os.path.join(path, "_ann_meta.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    raw = fsutil.read_text(_meta_path(path), spark=spark)
+    return None if raw is None else json.loads(raw)
 
 
 def lsh_topk_indexed(
@@ -199,7 +207,7 @@ def lsh_topk_indexed(
     fraction as ``planes_for()`` scales the plane count with the corpus
     — so the probe radius must grow with the plane count to hold recall
     (sweep evidence: tools/ann_planes_sweep.py, BENCH/BASELINE.md)."""
-    meta = read_index_meta(index_path) or {}
+    meta = read_index_meta(index_path, spark) or {}
 
     def _resolve(name: str, given, required: bool = False):
         stored = meta.get(name)
@@ -536,8 +544,9 @@ def write_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "_ivf_centroids.parquet")
     )
-    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
-        json.dump(
+    fsutil.write_text(
+        _meta_path(path),
+        json.dumps(
             {
                 "kind": "ivf",
                 "nlist": int(nlist),
@@ -545,9 +554,10 @@ def write_ivf_index(
                 "id_col": id_col,
                 "vec_col": vec_col,
                 "seed": seed,
-            },
-            f,
-        )
+            }
+        ),
+        spark=spark,
+    )
 
 
 def ivf_probe_lists(
@@ -584,7 +594,7 @@ def ivf_topk_indexed(
     Meta is REQUIRED (the index writer always records it): probing an
     index with a mismatched quantizer or dims silently returns garbage,
     so both validate."""
-    meta = read_index_meta(index_path)
+    meta = read_index_meta(index_path, spark)
     if meta is None or meta.get("kind") != "ivf":
         raise ValueError(
             f"index at {index_path} has no IVF _ann_meta.json — not an "

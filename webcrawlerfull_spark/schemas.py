@@ -84,6 +84,13 @@ SEEN_EXACT = StructType(
     ]
 )
 
+# The SCHEDULED table is FRONTIER + queue_pos (dense per-domain fetch
+# order) + fetch_round. ``fetch_round`` is the round the slice was
+# scheduled/fetched in — the ``round`` column is the frontier GENERATION,
+# which differs for carried-over rows in budgeted mode. The derived-seen
+# contract (catalog._seen_projection) reads fetch_round; Catalog.
+# write_round stamps it for the scheduled table when a caller omits it.
+
 SEEN_BLOOM = StructType(
     [
         StructField("bucket_id", IntegerType()),

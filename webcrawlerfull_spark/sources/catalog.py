@@ -95,6 +95,12 @@ class Catalog:
         """``partition_by`` adds sub-partition dirs under the round dir
         (e.g. frontier_q's ``band`` — the delta-frontier read path prunes
         on it); the round-dir overwrite idempotency is unchanged."""
+        if table == "scheduled" and "fetch_round" not in df.columns:
+            # the derived-seen contract depends on this data column
+            # (_seen_projection); a scheduled slice written for round k
+            # was by definition fetched in round k, so stamp it here
+            # rather than trusting every caller (ADVICE r5)
+            df = df.withColumn("fetch_round", F.lit(round_id))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -190,6 +196,17 @@ class Catalog:
     ) -> DataFrame | None:
         """Like read_all but keeps the ``r`` partition column (which round
         directory each row came from)."""
+        if table == "seen":
+            # committed_rounds("seen") advertises scheduled-DERIVED rounds
+            # with no physical seen/r=N dir — building paths to them here
+            # would raise (parquet) or silently miss rows (Iceberg).
+            # No caller needs per-dir seen rows; fail loudly (ADVICE r5).
+            raise NotImplementedError(
+                "read_all_with_round('seen'): seen is derived from the "
+                "scheduled table past the last compaction boundary — use "
+                "read_all('seen') (rows carry their fetch round in the "
+                "'round' data column)"
+            )
         rounds = self.committed_rounds(table)
         if up_to_round is not None:
             rounds = [r for r in rounds if r <= up_to_round]
@@ -529,6 +546,14 @@ class IcebergCatalog:
     def read_all_with_round(
         self, table: str, up_to_round: int | None = None
     ) -> DataFrame | None:
+        if table == "seen":
+            # same trap as the parquet Catalog: committed_rounds("seen")
+            # includes scheduled-derived rounds the physical table lacks
+            raise NotImplementedError(
+                "read_all_with_round('seen'): seen is derived from the "
+                "scheduled table past the last compaction boundary — use "
+                "read_all('seen')"
+            )
         if not self._exists(table):
             return None
         df = self.spark.table(self._tbl(table)).withColumnRenamed("_r", "r")

@@ -186,7 +186,9 @@ def _run_rounds(
         if delta_mode:
             # delta-frontier: backlog comes from the cursor state, not a
             # frontier table scan; round size is budget-capped per host
-            cursor = dfq.read_cursor(catalog, up_to_round=round_id)
+            # the cursor frame feeds three consumers this round (backlog
+            # agg, candidate read, cursor update) — persist it once
+            cursor = dfq.read_cursor(catalog, up_to_round=round_id).persist()
             bk = dfq.backlog(cursor)
             frontier_size = bk.pending
             round_size = min(
@@ -201,6 +203,8 @@ def _run_rounds(
             )
             round_size = frontier_size
         if frontier_size == 0:
+            if delta_mode:
+                cursor.unpersist()
             break
         # adaptive per-round partitioning: a 600-row round 0 must not run
         # every one of its ~10 jobs at 32 shuffle partitions
@@ -270,12 +274,18 @@ def _run_rounds(
             # already-seen rows are skipped forever, the rest fetches.
             # No full-frontier re-rank, no prev-scheduled anti-join (the
             # batch carve-over rows were dropped at insert time).
-            cursor = cursor.persist()
             candidates = dfq.read_candidates(
                 catalog, cursor, cfg.politeness_budget, band_size, round_id
             ).persist()
+            # disposed count rides the scheduled write as an Observation
+            # (no dedicated count job — same treatment as the lineage
+            # counters)
+            obs_disposed = Observation()
+            cand_obs = candidates.observe(
+                obs_disposed, F.count(F.lit(1)).alias("n")
+            )
             scheduled_raw = dfq.schedule_slice(
-                apply_robots(candidates, robots), seen, seen_filters, cfg
+                apply_robots(cand_obs, robots), seen, seen_filters, cfg
             )
         else:
             gated = apply_robots(frontier, robots)
@@ -460,7 +470,7 @@ def _run_rounds(
                 catalog, next_frontier, scheduled, cursor, candidates,
                 band_size, round_id,
             )
-            disposed_n = candidates.count()
+            disposed_n = int(obs_disposed.get["n"])
             inserted_n = inserted.count()
             next_frontier_size = frontier_size - disposed_n + inserted_n
         else:

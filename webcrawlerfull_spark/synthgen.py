@@ -300,9 +300,13 @@ class MirrorWorld(World):
     cross-URL duplicate — the syndicated/mirrored-page shape), or, with
     ``perturb=True``, with one extra sentence appended (a near-duplicate:
     different fingerprint, most MinHash bands shared). Used by the
-    doc-dedup crawl tests and the dedup gate entry; the crawl graph is
-    unchanged (URLs, link structure and fetch order are the base
-    World's), only page CONTENT aliases."""
+    doc-dedup crawl tests and the dedup gate entry. NOTE: because the
+    odd page renders its twin's HTML verbatim, its OUTGOING links are
+    the twin's too — the crawl graph matches a MirrorWorld no-dedup run
+    (what the tests compare against), not the base World's (whose odd
+    pages link out differently). URL set and fetch order still follow
+    the base layout; only rendered content (and thus link targets)
+    aliases (ADVICE r5)."""
 
     def __init__(self, *args, perturb: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
