@@ -157,6 +157,7 @@ def read_cursor(catalog, up_to_round: int) -> DataFrame | None:
 class Backlog:
     pending: int          # total queued-but-undisposed rows
     pending_hosts: int    # hosts with pending > 0
+    bands: list[int] | None = None   # this round's needed band partitions
 
 
 def backlog(cursor: DataFrame | None) -> Backlog:
@@ -175,34 +176,66 @@ def backlog(cursor: DataFrame | None) -> Backlog:
     return Backlog(int(row["p"]), int(row["h"]))
 
 
+def backlog_and_bands(
+    cursor: DataFrame | None, budget: int, band_size: int
+) -> Backlog:
+    """backlog() + needed_bands() in ONE aggregation job — the only
+    per-round driver-side job the delta layout adds to the loop top.
+    Each pending host's read window [consumed, consumed+budget) touches
+    ≤2 bands (band_size >= budget); bands=None (no pruning) when the
+    distinct set outgrows an isin() filter — correct either way."""
+    if cursor is None:
+        return Backlog(0, 0)
+    lo = F.floor(F.col("consumed") / F.lit(band_size))
+    hi = F.floor((F.col("consumed") + F.lit(budget - 1)) / F.lit(band_size))
+    row = (
+        cursor.where(F.col("consumed") < F.col("next_pos"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("next_pos") - F.col("consumed")), F.lit(0)
+            ).alias("p"),
+            F.count(F.lit(1)).alias("h"),
+            F.slice(
+                F.array_sort(
+                    F.array_union(F.collect_set(lo), F.collect_set(hi))
+                ),
+                1,
+                MAX_BAND_INLIST + 1,
+            ).alias("bands"),
+        )
+        .collect()[0]
+    )
+    bands = row["bands"] or []
+    if len(bands) > MAX_BAND_INLIST:
+        bands = None
+    else:
+        bands = [int(b) for b in bands]
+    return Backlog(int(row["p"]), int(row["h"]), bands)
+
+
 def needed_bands(
     cursor: DataFrame, budget: int, band_size: int
 ) -> list[int] | None:
-    """The ≤2 band partitions per pending host a round can touch; None
-    (no pruning) when the distinct set is too big for an isin() filter —
-    that only happens when per-host progress has diverged wildly, and
-    the fallback is correct, just less pruned."""
-    lo = F.floor(F.col("consumed") / F.lit(band_size))
-    hi = F.floor((F.col("consumed") + F.lit(budget - 1)) / F.lit(band_size))
-    rows = (
-        cursor.where(F.col("consumed") < F.col("next_pos"))
-        .select(F.explode(F.array(lo, hi)).alias("band"))
-        .distinct()
-        .limit(MAX_BAND_INLIST + 1)
-        .collect()
-    )
-    if len(rows) > MAX_BAND_INLIST:
-        return None
-    return sorted(int(r["band"]) for r in rows)
+    """The ≤2 band partitions per pending host a round can touch; see
+    backlog_and_bands (the driver folds this into the backlog agg)."""
+    return backlog_and_bands(cursor, budget, band_size).bands
 
 
 def read_candidates(
-    catalog, cursor: DataFrame, budget: int, band_size: int, round_id: int
+    catalog,
+    cursor: DataFrame,
+    budget: int,
+    band_size: int,
+    round_id: int,
+    bands: list[int] | None = None,
 ) -> DataFrame:
     """Each pending host's next ``budget`` queue positions — the only
-    slice of frontier_q a round ever reads (band-partition-pruned)."""
+    slice of frontier_q a round ever reads (band-partition-pruned).
+    ``bands`` comes from backlog_and_bands (the driver computes it in
+    the same job as the backlog); computed here if not given."""
     q = catalog.read_all_with_round("frontier_q", up_to_round=round_id)
-    bands = needed_bands(cursor, budget, band_size)
+    if bands is None:
+        bands = needed_bands(cursor, budget, band_size)
     if bands is not None:
         q = q.where(F.col("band").isin(bands))
     pend = cursor.where(F.col("consumed") < F.col("next_pos"))
@@ -257,7 +290,7 @@ def append_delta(
     candidates: DataFrame,
     band_size: int,
     round_id: int,
-) -> DataFrame:
+) -> int:
     """Insert one round's discoveries and advance the cursors. ``fresh``
     is build_next_frontier output (already seen-filtered and capped);
     the anti-join vs this round's scheduled slice drops the
@@ -265,14 +298,31 @@ def append_delta(
     schedule (identical outcome — they occupied cap space, they are
     never fetched — without keeping them in the queue). Writes
     frontier_q r=round_id+1 and frontier_cursor r=round_id+1 (touched
-    hosts only). Returns the inserted rows (post-write read-back)."""
+    hosts only). Returns the inserted-row count (observed on the delta
+    write — no dedicated count job)."""
+    from pyspark.sql import Observation
+
     fresh = fresh.drop("queue_pos").join(
         scheduled.select("url"), "url", "left_anti"
     )
     delta = assign_positions(fresh, cursor, band_size).select(
         *[f.name for f in QUEUE.fields]
     )
-    catalog.write_round(delta, "frontier_q", round_id + 1, partition_by=["band"])
+    # repartition by band before the partitioned write (the
+    # write_lsh_index lesson): without it every task writes a file into
+    # every band dir it has rows for — tasks x bands small files that
+    # every later pruned read pays to open; AQE coalesces the shuffle to
+    # ~one task (= one file) per band
+    obs = Observation()
+    catalog.write_round(
+        delta.repartition(F.col("band")).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ),
+        "frontier_q",
+        round_id + 1,
+        partition_by=["band"],
+    )
+    inserted_n = int(obs.get["n"])
     inserted = catalog.read_round("frontier_q", round_id + 1, schema=QUEUE)
 
     disposed = candidates.groupBy("host").agg(
@@ -297,7 +347,7 @@ def append_delta(
         )
     )
     catalog.write_round(new_cursor, "frontier_cursor", round_id + 1)
-    return inserted
+    return inserted_n
 
 
 def compact(catalog, up_to: int, band_size: int) -> None:

@@ -186,10 +186,15 @@ def _run_rounds(
         if delta_mode:
             # delta-frontier: backlog comes from the cursor state, not a
             # frontier table scan; round size is budget-capped per host
-            # the cursor frame feeds three consumers this round (backlog
-            # agg, candidate read, cursor update) — persist it once
+            # the cursor frame feeds three consumers this round (loop-top
+            # agg, candidate read, cursor update) — persist it once; the
+            # backlog counters and the needed band partitions come from
+            # ONE aggregation job (the only per-round driver-side job
+            # this layout adds)
             cursor = dfq.read_cursor(catalog, up_to_round=round_id).persist()
-            bk = dfq.backlog(cursor)
+            bk = dfq.backlog_and_bands(
+                cursor, cfg.politeness_budget, band_size
+            )
             frontier_size = bk.pending
             round_size = min(
                 bk.pending, cfg.politeness_budget * max(bk.pending_hosts, 1)
@@ -275,7 +280,8 @@ def _run_rounds(
             # No full-frontier re-rank, no prev-scheduled anti-join (the
             # batch carve-over rows were dropped at insert time).
             candidates = dfq.read_candidates(
-                catalog, cursor, cfg.politeness_budget, band_size, round_id
+                catalog, cursor, cfg.politeness_budget, band_size, round_id,
+                bands=bk.bands,
             ).persist()
             # disposed count rides the scheduled write as an Observation
             # (no dedicated count job — same treatment as the lineage
@@ -466,12 +472,11 @@ def _run_rounds(
             # never re-ranked or rewritten (BENCH §7.5's two flat
             # O(|frontier|) intercepts were exactly here and in the
             # schedule read above)
-            inserted = dfq.append_delta(
+            inserted_n = dfq.append_delta(
                 catalog, next_frontier, scheduled, cursor, candidates,
                 band_size, round_id,
             )
             disposed_n = int(obs_disposed.get["n"])
-            inserted_n = inserted.count()
             next_frontier_size = frontier_size - disposed_n + inserted_n
         else:
             if cfg.politeness_budget is not None:
