@@ -177,8 +177,9 @@ def test_delta_mid_round_crash_window(spark, tmp_path_factory, window):
 
 
 def test_delta_compaction_transparent(spark, tmp_path_factory):
-    """compact_every folds cursor deltas to latest-per-host and reclaims
-    consumed queue rows without changing the crawl."""
+    """Queue compaction (dir-count-triggered) folds cursor deltas to
+    latest-per-host and reclaims consumed queue rows without changing
+    the crawl."""
     world = World(seed=7, n_hosts=4, base_pages=50)
     res_a, _ = _crawl(
         spark, str(tmp_path_factory.mktemp("nc")), world,
@@ -187,7 +188,7 @@ def test_delta_compaction_transparent(spark, tmp_path_factory):
     res_b, cat = _crawl(
         spark, str(tmp_path_factory.mktemp("c")), world,
         politeness_budget=5, use_bloom=True, frontier_mode="delta",
-        compact_every=2,
+        compact_every=2, frontier_compact_dirs=2,
     )
     assert _snap(res_b) == _snap(res_a)
     # compaction actually ran: cursor rounds folded + one row per host

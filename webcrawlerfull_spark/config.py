@@ -191,3 +191,9 @@ class CrawlConfig:
     # frontier_q band partition width; None -> politeness_budget (a
     # round's per-host read window then spans at most two bands)
     frontier_band_size: int | None = None
+    # delta-mode queue maintenance trigger: fold frontier_q round dirs +
+    # reclaim consumed rows only when the committed dir count exceeds
+    # this (NOT on the compact_every cadence — queue compaction is
+    # O(pending), the one backlog-sized job in delta mode, so it runs on
+    # read-amplification pressure, not a clock)
+    frontier_compact_dirs: int = 8

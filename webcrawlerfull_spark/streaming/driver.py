@@ -530,10 +530,17 @@ def _run_rounds(
             if cfg.doc_dedup:
                 # pure dir-merge (deltas are disjoint; no dedup keys)
                 catalog.compact("doc_dedup_state", round_id)
-            if delta_mode:
-                # fold cursor deltas + reclaim fully-consumed queue rows
-                # (the only backlog-sized work in delta mode, amortized)
-                dfq.compact(catalog, round_id + 1, band_size)
+
+        if delta_mode and (
+            len(catalog.committed_rounds("frontier_q"))
+            > cfg.frontier_compact_dirs
+        ):
+            # fold cursor deltas + reclaim fully-consumed queue rows —
+            # the only backlog-sized job in delta mode, triggered by
+            # dir-count pressure (read amplification), not the
+            # compact_every clock: at bench cadence a clocked O(pending)
+            # rewrite cost more than the per-round rewrites it replaced
+            dfq.compact(catalog, round_id + 1, band_size)
 
         page_arrays.unpersist()
         if delta_mode:
