@@ -10,6 +10,7 @@ even sibling's HTML verbatim (exact dup) or with one appended sentence
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from webcrawlerfull_spark.config import CrawlConfig
@@ -226,3 +227,121 @@ def test_doc_dedup_resume_safe(spark, tmp_path_factory):
     assert lin(res) == lin(ref)
     keys = lambda r: {(x["domain"], x["url"]) for x in r.products.collect()}  # noqa: E731
     assert keys(res) == keys(ref)
+
+
+def test_fast_family_matches_md5_verdicts(spark):
+    """The fast MinHash family (xxhash64 + universal hashing — the crawl
+    default after the md5 family measured 375 s/101k docs, BENCH §8)
+    must classify the same corpus the same way as the md5 family:
+    exact dups, clear near-dups (one appended sentence) and clearly
+    distinct docs all get identical verdicts."""
+    from webcrawlerfull_spark.operators.textdedup import (
+        dedup_signatures,
+        incremental_dedup_delta,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "merchants price their wares beside the old stone bridge in "
+        "the market town every single morning before sunrise "
+    ) * 5
+    rows = [
+        ("d0", base),
+        ("d1", base),                               # exact dup of d0
+        ("d2", base + " one extra closing sentence."),   # near dup
+        ("d3", "entirely different text about spark shuffle partitions "
+               "and adaptive query execution plans " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    state_rows = [("dstate", base + " a different appended note.")]
+    state_docs = spark.createDataFrame(state_rows, "doc_id string, text string")
+
+    verdicts = {}
+    for fam in ("md5", "fast"):
+        state = incremental_dedup_delta(
+            state_docs, None, k=16, bands=4, family=fam
+        )
+        out = incremental_dedup_delta(
+            docs, state, k=16, bands=4, family=fam
+        )
+        verdicts[fam] = {
+            r["doc_id"]: r["status"]
+            for r in out.where(F.col("kind") == "verdict").collect()
+        }
+    assert verdicts["md5"] == verdicts["fast"]
+    assert verdicts["fast"]["d1"] == "exact_dup"
+    assert verdicts["fast"]["d0"] == "near_dup"   # vs the state doc
+    assert verdicts["fast"]["d3"] == "kept"
+
+
+def test_dedup_state_scheme_guard(spark, tmp_path_factory):
+    """Resuming a doc-dedup crawl under a different MinHash family (or
+    k/bands) must fail loudly: band hashes are family-specific, and the
+    state cannot be rebuilt (prior text is gone), so a silent mismatch
+    would miss every cross-round near-dup."""
+    world = MirrorWorld(seed=42, n_hosts=2, base_pages=30, fail_rate=0.0)
+    tmp = str(tmp_path_factory.mktemp("scheme"))
+    cat = Catalog(spark, tmp)
+    kw = dict(
+        max_depth=3, shuffle_partitions=8, doc_dedup=True,
+        dedup_k=16, dedup_bands=4,
+    )
+    crawl(
+        spark, world.seeds(),
+        CrawlConfig(**kw, dedup_family="fast"),
+        world, cat, max_rounds=2,
+    )
+    with pytest.raises(ValueError, match="scheme"):
+        crawl(
+            spark, world.seeds(),
+            CrawlConfig(**kw, dedup_family="md5"),
+            world, Catalog(spark, tmp),
+        )
+    # same scheme resumes fine
+    res = crawl(
+        spark, world.seeds(),
+        CrawlConfig(**kw, dedup_family="fast"),
+        world, Catalog(spark, tmp),
+    )
+    assert res.rounds_run >= 1
+
+
+def test_kernel_matches_expression_fast_family(spark):
+    """The numpy signatures kernel (the crawl hot path) and the JVM
+    expression form of the 'fast' family must produce BYTE-IDENTICAL
+    fingerprints and band hashes — same crc32 base, same universal-hash
+    streams, same Java-regex whitespace semantics (space-only trim,
+    ASCII \\s, trailing empties kept). Corpus includes the edge shapes:
+    short docs (<3 tokens), tab/newline whitespace, empty/space-only
+    text, repeated templated pages."""
+    from webcrawlerfull_spark.operators.textdedup import dedup_signatures
+
+    rows = [
+        ("a", "The quick Brown fox JUMPS over the lazy dog tonight"),
+        ("b", "two tokens"),
+        ("c", "one"),
+        ("d", ""),
+        ("e", "   "),
+        ("f", "\ttab\tseparated\ttokens\tacross\tthe\tline\t"),
+        ("g", "line\nbreaks\nand  double  spaces   here and there"),
+        ("h", ("template page body " * 40) + "unique tail 1"),
+        ("i", ("template page body " * 40) + "unique tail 2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    expr = {
+        r["doc_id"]: (r["_fp"], list(r["_bands"]))
+        for r in dedup_signatures(
+            docs, "doc_id", "text", 16, 4, family="fast"
+        ).collect()
+    }
+    kern = {
+        r["doc_id"]: (r["_fp"], list(r["_bands"]))
+        for r in dedup_signatures(
+            docs, "doc_id", "text", 16, 4, family="fast", kernel=True
+        ).collect()
+    }
+    assert kern == expr
+    # near-dup templates share most bands; distinct docs share none
+    shared_hi = set(expr["h"][1]) & set(expr["i"][1])
+    assert len(shared_hi) >= 2
+    assert not set(expr["a"][1]) & set(expr["g"][1])

@@ -176,6 +176,14 @@ class CrawlConfig:
     doc_dedup: bool = False
     dedup_k: int = 64
     dedup_bands: int = 16
+    # MinHash hash family for the crawl's doc-dedup stage: 'fast'
+    # (xxhash64 + universal hashing — measured 1.8 s vs 375 s for the
+    # md5 family on 101k 15 KB docs at 32 cores, BENCH §8) or 'md5'
+    # (the oracle-replicable family the standalone dedup operators
+    # use). Band hashes differ between families, so persisted
+    # doc_dedup_state carries a scheme marker and the driver refuses a
+    # cross-family resume.
+    dedup_family: str = "fast"
     # frontier layout for BUDGETED crawls (BENCH §7.5 / VERDICT r5 #1):
     #   "merged" — re-rank + rewrite the full frontier (discoveries ∪
     #              deferred backlog) every round; exact global politeness

@@ -89,6 +89,171 @@ def minhash_signature(text_col, k: int = DEFAULT_K):
     return F.when(has_content, folded)
 
 
+# universal-hash modulus for the fast MinHash family: the Mersenne prime
+# 2^31 - 1. Operands stay < 2^31, so a*h + b < 2^62 — never overflows a
+# signed 64-bit long (Spark 4 runs ANSI mode: silent wraparound is not
+# an option, arithmetic must provably fit).
+_UH_PRIME = (1 << 31) - 1
+
+
+def _uh_params(k: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) universal-hash coefficients — md5-derived
+    like plane_weight in similarity.py, so the family is reproducible on
+    any engine with no stored model."""
+    import hashlib
+
+    a, b = [], []
+    for j in range(k):
+        ha = hashlib.md5(f"mh-a-{j}".encode()).hexdigest()
+        hb = hashlib.md5(f"mh-b-{j}".encode()).hexdigest()
+        a.append(int(ha[:15], 16) % (_UH_PRIME - 1) + 1)   # 1 .. p-1
+        b.append(int(hb[:15], 16) % _UH_PRIME)             # 0 .. p-1
+    return a, b
+
+
+def minhash_signature_fast(text_col, k: int = DEFAULT_K):
+    """Array of K minhashes (longs) via ONE xxhash64 per shingle + K
+    universal-hash derivations h_j = (a_j*h + b_j) mod p — pure long
+    arithmetic, no per-shingle string hashing or hex allocation.
+
+    WHY THIS EXISTS: the md5 family above costs ~119 ms/doc-core on
+    15 KB pages (k=64 ⇒ ~150k md5-of-concat evaluations per doc) —
+    measured 375 s for 101k docs at 32 cores, which made the crawl's
+    doc-dedup stage 40× the price of the round it ran in (BENCH §8).
+    This family computes the same MinHash structure ~20-40× cheaper.
+    It is a DIFFERENT hash family: band hashes are not comparable
+    across families, so persisted dedup state carries a family marker
+    (incremental_dedup_delta kind='meta') and the crawl driver refuses
+    to resume across a family change. The md5 family stays the default
+    for the DuckDB-oracled operators (the oracle replicates md5 in
+    SQL).
+
+    The base hash is crc32 (not xxhash64) DELIBERATELY: Spark's crc32
+    and Python's zlib.crc32 are the same polynomial bit-for-bit, so the
+    Arrow-batched numpy kernel below (dedup_signatures kernel=True —
+    the crawl hot path) produces byte-identical band hashes to this
+    expression form; xxhash64 has no stable Python twin. This
+    expression form itself is NOT the hot path: higher-order
+    aggregate/zip_with folds evaluate interpreted (no whole-stage
+    codegen), measured ~260 s per 200k 15 KB docs at 32 cores
+    regardless of hash function — the kernel does the same math in
+    numpy at ~1/15 the cost (BENCH §8)."""
+    sh = shingles(text_col)
+    a, b = _uh_params(k)
+    p = F.lit(_UH_PRIME).cast("long")
+    # base hash once per shingle; the fold re-reads the array element,
+    # not the crc32, when deriving the K streams
+    hs = F.transform(
+        sh, lambda s: F.pmod(F.crc32(F.encode(s, "UTF-8")), p)
+    )
+    inf = F.array_repeat(p, k)  # p > any value mod p
+    folded = F.aggregate(
+        hs,
+        inf,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.lit(a[j]).cast("long") * h + F.lit(b[j])) % p
+                    for j in range(k)
+                ]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    has_content = F.coalesce(F.trim(text_col) != "", F.lit(False))
+    return F.when(has_content, folded)
+
+
+# Java-regex \\s and String.trim are ASCII-only; Python re's \\s is
+# unicode-aware. The kernel replicates the JVM semantics exactly so its
+# fingerprints/band hashes match the expression forms byte-for-byte.
+_JAVA_WS = "[ \t\n\x0b\f\r]+"
+
+
+def _signatures_kernel(
+    docs: DataFrame, id_col: str, text_col: str, k: int, bands: int
+) -> DataFrame:
+    """Arrow-batched numpy implementation of dedup_signatures for the
+    'fast' family — the crawl's doc-dedup hot path.
+
+    WHY PYTHON HERE (the third sanctioned kernel, after the HTML parse
+    mapInArrow and the numpy bloom kernel): the signature math is
+    shingles × K fold work that Spark can only express as higher-order
+    aggregate/zip_with lambdas, which evaluate INTERPRETED (outside
+    whole-stage codegen) — measured 262 s for a 200k-doc round at 32
+    cores, dominating the crawl. Here the same math is one zlib.crc32
+    per shingle (identical to the JVM's crc32) plus a vectorized
+    (n_shingles × K) universal-hash min in numpy. Byte-equality with
+    the expression form is pytest-pinned."""
+    import hashlib
+    import re
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    a_l, b_l = _uh_params(k)
+    r = k // bands
+    ws_re = re.compile(_JAVA_WS)
+
+    def gen(batches):
+        A = np.array(a_l, dtype=np.uint64)
+        B = np.array(b_l, dtype=np.uint64)
+        P = np.uint64(_UH_PRIME)
+        for pdf in batches:
+            ids, fps, bandss = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = text if isinstance(text, str) else ""
+                ids.append(did)
+                fps.append(
+                    hashlib.md5(ws_re.sub(" ", t).lower().encode()).hexdigest()
+                )
+                # Spark's trim() strips SPACES only (0x20) — mirror it
+                # exactly, both for the has_content gate and the token
+                # split (a leading tab yields an empty first token in
+                # both engines; split keeps trailing empties like
+                # Spark's limit=-1). ASCII-lowercase corpus assumed for
+                # str.lower() == Spark lower() (synthetic worlds are).
+                if t.strip(" ") == "":
+                    bandss.append([])   # content-free: no band evidence
+                    continue
+                toks = ws_re.split(t.lower().strip(" "))
+                if len(toks) >= 3:
+                    sh = [
+                        " ".join(toks[i : i + 3])
+                        for i in range(len(toks) - 2)
+                    ]
+                else:
+                    sh = [" ".join(toks)]
+                hs = (
+                    np.fromiter(
+                        (zlib.crc32(s.encode()) for s in sh),
+                        dtype=np.uint64,
+                        count=len(sh),
+                    )
+                    % P
+                )
+                mins = ((hs[:, None] * A[None, :] + B[None, :]) % P).min(axis=0)
+                bandss.append(
+                    [
+                        hashlib.md5(
+                            "|".join(
+                                str(int(mins[bb * r + i])) for i in range(r)
+                            ).encode()
+                        ).hexdigest()
+                        for bb in range(bands)
+                    ]
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "_fp": fps, "_bands": bandss}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} string, _fp string, _bands array<string>"
+    )
+
+
 def lsh_bands(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -212,6 +377,8 @@ def dedup_signatures(
     text_col: str = "text",
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
+    family: str = "md5",
+    kernel: bool = False,
 ) -> DataFrame:
     """(id, _fp, _bands) — ONE scan of the text yielding everything the
     incremental dedup path needs: the exact-dedup fingerprint plus the
@@ -219,7 +386,14 @@ def dedup_signatures(
     signature carries no shingle evidence; empty for bands=0 exact-only
     mode). The per-doc record is fixed-width (~16 B + 32 B × bands), so
     callers that consume it from several branches persist THIS instead
-    of rescanning text."""
+    of rescanning text.
+
+    ``family`` picks the MinHash hash family: 'md5' (oracle-replicable,
+    expensive — K md5s per shingle) or 'fast' (xxhash64 + universal
+    hashing, ~20-40× cheaper; see minhash_signature_fast). Band hashes
+    stay md5-hex strings either way (16 per doc — cheap), so the state
+    schema is family-independent; the VALUES differ, hence the family
+    marker on persisted state."""
     empty = F.array().cast("array<string>")
     if bands <= 0:
         return docs.select(
@@ -227,16 +401,27 @@ def dedup_signatures(
             fingerprint(F.col(text_col)).alias("_fp"),
             empty.alias("_bands"),
         )
+    if family not in ("md5", "fast"):
+        raise ValueError(f"unknown MinHash family {family!r}")
+    if kernel:
+        if family != "fast":
+            raise ValueError("the numpy kernel implements the 'fast' family")
+        return _signatures_kernel(docs, id_col, text_col, k, bands)
+    sig_fn = minhash_signature if family == "md5" else minhash_signature_fast
     r = k // bands
     with_sig = docs.select(
         F.col(id_col),
         fingerprint(F.col(text_col)).alias("_fp"),
-        minhash_signature(F.col(text_col), k).alias("_sig"),
+        sig_fn(F.col(text_col), k).alias("_sig"),
     )
     band_cols = [
         F.md5(
             F.concat_ws(
-                "|", *[F.element_at(F.col("_sig"), b * r + i + 1) for i in range(r)]
+                "|",
+                *[
+                    F.element_at(F.col("_sig"), b * r + i + 1).cast("string")
+                    for i in range(r)
+                ],
             )
         )
         for b in range(bands)
@@ -349,6 +534,16 @@ def split_dedup_state(state: DataFrame | None) -> tuple[DataFrame | None, DataFr
     )
 
 
+def dedup_scheme(k: int, bands: int, family: str) -> str:
+    """The persisted-state compatibility marker: band-hash values depend
+    on (family, k, bands), so state written under one tuple must never
+    be probed under another (silent near-dup misses). bands=0 has no
+    band rows and a family-independent fingerprint."""
+    if bands <= 0:
+        return "dedup:exact-only:v1"
+    return f"dedup:minhash-{family}:k={k}:b={bands}:v1"
+
+
 def incremental_dedup_delta(
     docs: DataFrame,
     state: DataFrame | None,
@@ -357,6 +552,7 @@ def incremental_dedup_delta(
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
     sigs: DataFrame | None = None,
+    family: str = "md5",
 ) -> DataFrame:
     """One round's dedup output as a SINGLE stacked frame — the crawl
     driver's per-round doc-dedup write (one job, like the bloom delta):
@@ -365,6 +561,8 @@ def incremental_dedup_delta(
       (``incremental_dedup`` semantics vs the accumulated state)
     - ``kind='fp'`` / ``kind='band'`` rows: the KEPT docs' fingerprints
       and LSH band hashes — the next round's state delta
+    - one ``kind='meta'`` row: the dedup_scheme marker (family/k/bands)
+      the crawl driver validates before probing persisted state
 
     Sentinels ('' / -1) fill the unused columns so the frame is
     NULL-free (stacking convention). Round deltas union into the full
@@ -378,7 +576,7 @@ def incremental_dedup_delta(
     × bands), fixed-width."""
     state_fps, state_bands = split_dedup_state(state)
     if sigs is None:
-        sigs = dedup_signatures(docs, id_col, text_col, k, bands)
+        sigs = dedup_signatures(docs, id_col, text_col, k, bands, family)
     labeled = _label_against_state(
         sigs, state_fps, state_bands if bands > 0 else None, id_col
     )
@@ -415,7 +613,21 @@ def incremental_dedup_delta(
             "band_hash",
         )
     )
-    return v_rows.unionByName(fp_rows).unionByName(band_rows)
+    # one meta row per delta: the hash-scheme marker the crawl driver
+    # validates on resume (the bloom HASH_SCHEME pattern — probing band
+    # hashes written by a different family/k/bands silently misses
+    # every near-dup)
+    spark = docs.sparkSession
+    meta_row = spark.createDataFrame(
+        [("meta", "", dedup_scheme(k, bands, family), "", -1, "")],
+        "kind string, doc_id string, status string, fp string, "
+        "band_id int, band_hash string",
+    )
+    return (
+        v_rows.unionByName(fp_rows)
+        .unionByName(band_rows)
+        .unionByName(meta_row)
+    )
 
 
 def connected_components(

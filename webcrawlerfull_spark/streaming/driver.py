@@ -37,6 +37,7 @@ from webcrawlerfull_spark.operators.bloom import (
 from webcrawlerfull_spark.operators.attribution import first_touch
 from webcrawlerfull_spark.operators.cascade import run_cascade
 from webcrawlerfull_spark.operators.textdedup import (
+    dedup_scheme,
     dedup_signatures,
     incremental_dedup_delta,
 )
@@ -180,6 +181,7 @@ def _run_rounds(
     # deltas), so validate persisted state once per crawl()/resume
     # invocation, not once per round
     scheme_checked = False
+    dedup_scheme_checked = False
     while round_id < hard_stop:
         if max_rounds is not None and rounds_run >= max_rounds:
             break
@@ -374,6 +376,32 @@ def _run_rounds(
             dd_state = catalog.read_all(
                 "doc_dedup_state", up_to_round=round_id - 1
             )
+            if dd_state is not None and not dedup_scheme_checked:
+                # band hashes are only comparable within one
+                # (family, k, bands) tuple — probing state written under
+                # another silently misses every near-dup (the bloom
+                # HASH_SCHEME hazard). Unlike bloom state, band state
+                # CANNOT be rebuilt (the source text may be gone), so a
+                # mismatch is a hard error, not a rebuild.
+                expect = dedup_scheme(
+                    cfg.dedup_k, cfg.dedup_bands, cfg.dedup_family
+                )
+                found = {
+                    r["status"]
+                    for r in dd_state.where(F.col("kind") == "meta")
+                    .select("status")
+                    .distinct()
+                    .collect()
+                } or {"<unstamped legacy state: md5 family>"}
+                if found != {expect}:
+                    raise ValueError(
+                        "persisted doc_dedup_state was written under "
+                        f"scheme(s) {sorted(found)} but this run uses "
+                        f"{expect!r}; resume with the original "
+                        "dedup_family/dedup_k/dedup_bands or start a "
+                        "fresh catalog"
+                    )
+                dedup_scheme_checked = True
             ok_docs = docs.where(F.col("status") == "ok").select(
                 "doc_id", F.concat_ws(" ", "texts").alias("_text")
             )
@@ -381,11 +409,24 @@ def _run_rounds(
             # (fp + band hashes, fixed-width) is persisted because the
             # stacked delta consumes it from three union branches
             sigs = dedup_signatures(
-                ok_docs, "doc_id", "_text", cfg.dedup_k, cfg.dedup_bands
+                ok_docs, "doc_id", "_text", cfg.dedup_k, cfg.dedup_bands,
+                cfg.dedup_family,
+                kernel=(cfg.dedup_family == "fast" and cfg.dedup_bands > 0),
             ).persist()
+            # MATERIALIZE the cache before building the delta: the
+            # stacked frame references sigs SIX times (three union
+            # branches, each reading sigs plus the reps frame derived
+            # from sigs), and a cold persist races — every reference
+            # re-scans the round's full text (measured 190 s vs ~25 s
+            # on a 200k-doc round at 32 cores, BENCH §8). One count()
+            # runs the text scan exactly once and the six readers hit
+            # the cache.
+            sigs.count()
+            clock.lap("doc-dedup:sigs")
             delta = incremental_dedup_delta(
                 ok_docs, dd_state, id_col="doc_id", text_col="_text",
                 k=cfg.dedup_k, bands=cfg.dedup_bands, sigs=sigs,
+                family=cfg.dedup_family,
             )
             obs_dedup = Observation()
             catalog.write_round(
@@ -403,6 +444,7 @@ def _run_rounds(
                 round_id,
             )
             docs_deduped = int(obs_dedup.get["dropped"])
+            clock.lap("doc-dedup:delta-write")
             sigs.unpersist()
             kept_ids = (
                 catalog.read_round("doc_dedup_state", round_id)
