@@ -240,11 +240,18 @@ def test_fast_family_matches_md5_verdicts(spark):
         incremental_dedup_delta,
     )
 
-    base = (
-        "the quick brown fox jumps over the lazy dog while seventeen "
-        "merchants price their wares beside the old stone bridge in "
-        "the market town every single morning before sunrise "
-    ) * 5
+    # NON-repetitive base: repeated text collapses the distinct-shingle
+    # set, dropping the near-dup Jaccard to ~0.94 where a 4-band LSH
+    # legitimately misses for one hash family and hits for another
+    # (observed: crc32 family missed, md5 family hit — neither wrong).
+    # ~600 distinct tokens put J at ~0.99+ so both families detect with
+    # P(miss) ~1e-9, making the cross-family verdict equality a real
+    # invariant instead of a coin flip.
+    base = " ".join(
+        f"sentence {i} describes product alpha{i} with price {i * 7} "
+        f"and category beta{i % 13}"
+        for i in range(60)
+    )
     rows = [
         ("d0", base),
         ("d1", base),                               # exact dup of d0
