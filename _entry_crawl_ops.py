@@ -105,11 +105,25 @@ _DOMAIN_RE = {k: C.combined_regex(v) for k, v in C.DOMAIN_PATTERNS.items()}
 _AUTH_RE = "^[a-z]+://([^/?#]*)"
 
 
+# last registration (session object held STRONGLY + sf_dir): every
+# queries() entry calls _register, and re-reading 10 parquet footers +
+# re-creating 10 temp views cost ~0.3-0.5 s of driver-side time PER
+# QUERY (r7 measurement) while changing nothing after the first call.
+# Metadata-only memo — no data or results are cached. Keyed on the
+# session IDENTITY (strong ref, so a stopped session's id is never
+# reused) and the sf_dir; a different session or dir re-registers.
+_registered: dict = {}
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    if _registered.get("session") is spark and _registered.get("dir") == sf_dir:
+        return
     for t in _TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).createOrReplaceTempView(t)
+    _registered["session"] = spark
+    _registered["dir"] = sf_dir
 
 
 def _links_base(spark: SparkSession, sf_dir: str) -> DataFrame:

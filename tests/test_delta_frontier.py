@@ -260,3 +260,52 @@ def test_needed_bands_and_pruned_read(spark, tmp_path_factory):
     cand = dfq.read_candidates(cat, cursor, budget=5, band_size=5, round_id=0)
     got = {(r["host"], r["pos"]) for r in cand.collect()}
     assert got == {("a", p) for p in range(5)} | {("b", 13)}
+
+
+def test_band_size_below_budget_rejected():
+    """ADVICE r6: frontier_band_size < politeness_budget would make a
+    round's per-host window span >2 band partitions — middle-band rows
+    would be skipped then deleted by compaction. Must fail loudly."""
+    cfg = CrawlConfig(politeness_budget=5, frontier_band_size=3)
+    with pytest.raises(ValueError, match="frontier_band_size"):
+        dfq.band_size_for(cfg)
+    # band_size == budget and band_size > budget are both fine
+    assert dfq.band_size_for(
+        CrawlConfig(politeness_budget=5, frontier_band_size=5)
+    ) == 5
+    assert dfq.band_size_for(CrawlConfig(politeness_budget=5)) == 5
+
+
+def test_resume_frontier_mode_mismatch_raises(spark, tmp_path_factory):
+    """ADVICE r6: resuming a catalog under the other frontier_mode must
+    raise (each direction) instead of silently reporting the crawl
+    finished with pending work still queued."""
+    world = World(seed=42, n_hosts=3, base_pages=40)
+    # merged-mode catalog, interrupted mid-run
+    merged_dir = str(tmp_path_factory.mktemp("mm"))
+    cat_m = Catalog(spark, merged_dir)
+    cfg_m = CrawlConfig(max_depth=3, politeness_budget=3, shuffle_partitions=8)
+    crawl(spark, world.seeds(), cfg_m, world, cat_m, max_rounds=2)
+    with pytest.raises(ValueError, match="resume mode mismatch"):
+        crawl(
+            spark, world.seeds(),
+            CrawlConfig(
+                max_depth=3, politeness_budget=3, shuffle_partitions=8,
+                frontier_mode="delta",
+            ),
+            world, Catalog(spark, merged_dir),
+        )
+    # delta-mode catalog, interrupted mid-run
+    delta_dir = str(tmp_path_factory.mktemp("dd"))
+    cat_d = Catalog(spark, delta_dir)
+    cfg_d = CrawlConfig(
+        max_depth=3, politeness_budget=3, shuffle_partitions=8,
+        frontier_mode="delta",
+    )
+    crawl(spark, world.seeds(), cfg_d, world, cat_d, max_rounds=2)
+    with pytest.raises(ValueError, match="resume mode mismatch"):
+        crawl(
+            spark, world.seeds(),
+            CrawlConfig(max_depth=3, politeness_budget=3, shuffle_partitions=8),
+            world, Catalog(spark, delta_dir),
+        )

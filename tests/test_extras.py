@@ -118,3 +118,46 @@ def test_frame_sample_only_videos(spark, docs):
     }
     assert kinds == video_ids
     assert all(r["frame_no"] >= 0 for r in frames)
+
+
+def test_wordstream_render_byte_identical():
+    """r7 optimization pin: the vectorized _WordStream paragraph path
+    (numpy MT19937 raw words) must render byte-identical HTML to the
+    stdlib Random.choice path it replaced, for every page kind and for
+    MirrorWorld's twin/perturb branches."""
+    import webcrawlerfull_spark.synthgen as sg
+
+    if sg._np is None:
+        pytest.skip("numpy unavailable")
+    worlds = [
+        sg.World(seed=7, n_hosts=600, base_pages=20000, cat_min=8,
+                 cat_span=4, per_page_min=30, per_page_span=20, max_pag=6),
+        sg.World(seed=42, n_hosts=12, base_pages=60),
+        sg.MirrorWorld(seed=5, n_hosts=6, base_pages=60, perturb=True),
+        sg.MirrorWorld(seed=5, n_hosts=6, base_pages=60, perturb=False),
+    ]
+    for w in worlds:
+        urls = []
+        for h in w.hosts()[:4] + w.hosts()[-1:]:
+            host = h["host"]
+            p = w._host_params(host)
+            urls += [
+                f"https://{host}",
+                f"https://{host}/about",
+                f"https://{host}/blog/post-0",
+                f"https://{host}/category/c0",
+                f"https://{host}/category/c0?page=2",
+            ]
+            urls += [
+                f"https://{host}" + p["product_path"](i) for i in range(4)
+            ]
+        urls = [u for u in urls if w.page_exists(u)]
+        assert urls
+        new = {u: w.render(u) for u in urls}
+        saved = sg._np
+        sg._np = None
+        try:
+            old = {u: w.render(u) for u in urls}
+        finally:
+            sg._np = saved
+        assert new == old

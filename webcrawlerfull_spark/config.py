@@ -177,7 +177,7 @@ class CrawlConfig:
     dedup_k: int = 64
     dedup_bands: int = 16
     # MinHash hash family for the crawl's doc-dedup stage: 'fast'
-    # (xxhash64 + universal hashing — measured 1.8 s vs 375 s for the
+    # (crc32 + universal hashing — measured 1.8 s vs 375 s for the
     # md5 family on 101k 15 KB docs at 32 cores, BENCH §8) or 'md5'
     # (the oracle-replicable family the standalone dedup operators
     # use). Band hashes differ between families, so persisted

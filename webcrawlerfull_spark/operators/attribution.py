@@ -6,17 +6,21 @@ order: rounds ascending, pages in frontier order within a round
 (queue_pos), parsers in cascade order within a page (parser_rank; the
 sequential generator runs after the cascade, rank 3).
 
-One window — WindowGroupLimit-optimized row_number()==1.
-
-The reference keeps ``url_first_found_by`` PER DOMAIN (crawl_domain is a
-per-seed-domain loop, tasks.py:376-584), so a product URL reachable from
-two seed domains gets one attribution row per domain — the key is
-(domain, url), not url alone.
+Shape (r7): ``groupBy(keys).agg(min(struct(order_cols, payload)))`` —
+a hash aggregate with MAP-SIDE partial aggregation, so the exchange
+carries at most one row per (key, map task) and no sort ever runs.
+The former ``row_number() == 1`` window shuffled every mention row and
+sorted each partition (WindowGroupLimit trimmed the post-shuffle rows
+but still sorted map-side). Equivalent output because every engine
+call site has order keys that are UNIQUE within a partition key (page
+rank × parser rank within a domain; (orderkey, linenumber) in the gate
+query) — on a genuine tie min(struct) falls back to comparing the
+payload columns, where row_number picked an arbitrary row.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -28,14 +32,18 @@ def first_touch(
     """Keep the first mention of each (partition key) in canonical
     processing order. ``mentions`` needs the partition cols (default
     ``["domain", "url"]`` — the reference's per-domain dict), (parser),
-    and the order columns."""
+    and the order columns. Order keys must be unique per partition key
+    for a deterministic result (all engine call sites are)."""
     order_cols = order_cols or ["round", "queue_pos", "parser_rank"]
     partition_cols = partition_cols or ["domain", "url"]
-    w = Window.partitionBy(*partition_cols).orderBy(
-        *[F.col(c).asc() for c in order_cols]
+    payload = [c for c in mentions.columns if c not in partition_cols]
+    packed = order_cols + [c for c in payload if c not in order_cols]
+    agg = mentions.groupBy(*partition_cols).agg(
+        F.min(F.struct(*packed)).alias("_first")
     )
-    return (
-        mentions.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    return agg.select(
+        *[
+            F.col(c) if c in partition_cols else F.col(f"_first.{c}").alias(c)
+            for c in mentions.columns
+        ]
     )

@@ -52,12 +52,21 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force exact top-k by cosine similarity to a literal query."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _query_array(query_vec)
     sim = cosine_sim(F.col(vec_col), q)
     return (
         embeddings.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def _query_array(query_vec: list[float]):
+    """Literal array<double> column for a query vector via ONE parsed
+    SQL expression (repr() round-trips doubles exactly; verified) — the
+    per-component ``F.lit`` form cost one py4j round trip per dim."""
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in query_vec) + ")"
     )
 
 
@@ -69,16 +78,40 @@ def plane_weight(plane: int, dim: int) -> int:
 
 
 def lsh_signature(vec_col, dims: int, planes: int = 8):
-    """Bit-string signature: sign of <w_p, x> per hyperplane."""
-    bits = []
-    for p in range(planes):
-        proj = F.lit(0.0)
-        for d in range(dims):
-            w = plane_weight(p, d)
-            term = F.element_at(vec_col, d + 1).cast("double")
-            proj = proj + (term if w > 0 else -term)
-        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    """Bit-string signature: sign of <w_p, x> per hyperplane.
+
+    Shape (r7): the ±1 weight matrix is ONE constant-folded SQL literal
+    and the projections run as ``transform``/``zip_with``/``aggregate``
+    over it — ~15 py4j calls and a ~20-node tree. The former per-term
+    chained form (planes × dims ``element_at`` additions) cost 3-5 s of
+    driver-side Column construction per call at 8×64 and handed Catalyst
+    a 512-node expression tree. Bit-identical output: multiplying by
+    exactly ±1.0 IS the IEEE-754 sign flip, and the addition order (d
+    ascending, left fold) is unchanged."""
+    w_rows = ",".join(
+        "array("
+        + ",".join(
+            "1.0D" if plane_weight(p, d) > 0 else "-1.0D"
+            for d in range(dims)
+        )
+        + ")"
+        for p in range(planes)
+    )
+    weights = F.expr(f"array({w_rows})")
+    projs = F.transform(
+        weights,
+        lambda w: F.aggregate(
+            F.zip_with(vec_col, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.concat_ws(
+        "",
+        F.transform(
+            projs, lambda p: F.when(p > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+    )
 
 
 def query_signature(query_vec: list[float], dims: int, planes: int = 8) -> str:
@@ -152,9 +185,22 @@ def write_lsh_index(
     # (tasks × buckets small files — a filesystem DoS at scale); after
     # the shuffle each bucket is one task's contiguous write, so the
     # index is one file per bucket and the probe read opens exactly the
-    # probed buckets' files
+    # probed buckets' files. The partition COUNT is pinned explicitly
+    # (r7): a keyed repartition with no count is AQE-coalescible, and on
+    # a small corpus AQE folded all 2^planes buckets into ONE task that
+    # created the bucket files sequentially (~15-40 ms of parquet
+    # writer open/close/rename each — measured 4.6-10.6 s for 254 dirs
+    # vs 1.7-4.3 s spread over the cores). Still one file per bucket:
+    # hash partitioning keeps each sig wholly inside one task.
+    n_write = max(
+        1,
+        min(
+            2 ** planes,
+            embeddings.sparkSession.sparkContext.defaultParallelism,
+        ),
+    )
     idx = lsh_index(embeddings, dims, planes, id_col, vec_col)
-    idx.repartition(F.col("sig")).write.mode(
+    idx.repartition(n_write, F.col("sig")).write.mode(
         "overwrite"
     ).partitionBy("sig").parquet(path)
     meta = {
@@ -533,9 +579,15 @@ def write_ivf_index(
     assigned = model.transform(feats).select(
         F.col("_list_id").alias("list_id"), F.col(id_col), F.col(vec_col)
     )
-    assigned.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(path)
+    # explicit partition count for the same reason as write_lsh_index:
+    # AQE otherwise folds a small index into one task that creates all
+    # nlist partition files sequentially
+    n_write = max(
+        1, min(nlist, embeddings.sparkSession.sparkContext.defaultParallelism)
+    )
+    assigned.repartition(n_write, F.col("list_id")).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
     centroids = model.clusterCenters()
     spark = embeddings.sparkSession
     spark.createDataFrame(

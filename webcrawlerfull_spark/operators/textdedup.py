@@ -112,9 +112,10 @@ def _uh_params(k: int) -> tuple[list[int], list[int]]:
 
 
 def minhash_signature_fast(text_col, k: int = DEFAULT_K):
-    """Array of K minhashes (longs) via ONE xxhash64 per shingle + K
-    universal-hash derivations h_j = (a_j*h + b_j) mod p — pure long
-    arithmetic, no per-shingle string hashing or hex allocation.
+    """Array of K minhashes (longs) via ONE crc32 (zlib-compatible) per
+    shingle + K universal-hash derivations h_j = (a_j*h + b_j) mod p —
+    pure long arithmetic, no per-shingle string hashing or hex
+    allocation.
 
     WHY THIS EXISTS: the md5 family above costs ~119 ms/doc-core on
     15 KB pages (k=64 ⇒ ~150k md5-of-concat evaluations per doc) —
@@ -389,7 +390,7 @@ def dedup_signatures(
     of rescanning text.
 
     ``family`` picks the MinHash hash family: 'md5' (oracle-replicable,
-    expensive — K md5s per shingle) or 'fast' (xxhash64 + universal
+    expensive — K md5s per shingle) or 'fast' (crc32 + universal
     hashing, ~20-40× cheaper; see minhash_signature_fast). Band hashes
     stay md5-hex strings either way (16 per doc — cheap), so the state
     schema is family-independent; the VALUES differ, hence the family

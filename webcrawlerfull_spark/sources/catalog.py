@@ -106,6 +106,50 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._dir(table, round_id))
 
+    def write_round_local(
+        self, rows: list[dict], table: str, round_id: int, schema
+    ) -> None:
+        """Driver-local fast path for TINY control rows (the per-round
+        lineage commit marker — one row): write the parquet part file +
+        _SUCCESS directly with pyarrow instead of scheduling a Spark job
+        (~0.3-0.5 s of fixed per-round cost for one row, measured r7).
+        Produces the same dir layout the Spark writer does, so every
+        reader (read_round / read_all / has_round) is unchanged. Same
+        idempotent overwrite semantics as write_round: the dir is staged
+        and swapped, so a crash mid-write leaves either the old round
+        dir or none."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA_TYPES = {
+            "string": pa.string(),
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "double": pa.float64(),
+            "float": pa.float32(),
+            "boolean": pa.bool_(),
+        }
+        pa_schema = pa.schema(
+            [
+                pa.field(f.name, _PA_TYPES[f.dataType.simpleString()])
+                for f in schema.fields
+            ]
+        )
+        cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
+        d = self._dir(table, round_id)
+        tmp = d + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(
+            pa.Table.from_pydict(cols, schema=pa_schema),
+            os.path.join(tmp, "part-00000-local.snappy.parquet"),
+            compression="snappy",
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+
     def has_round(self, table: str, round_id: int) -> bool:
         d = self._dir(table, round_id)
         return os.path.exists(os.path.join(d, "_SUCCESS"))
@@ -452,6 +496,16 @@ class IcebergCatalog:
         else:
             parts = [F.col("_r")] + [F.col(c) for c in (partition_by or [])]
             df.writeTo(t).partitionedBy(*parts).create()
+
+    def write_round_local(
+        self, rows: list[dict], table: str, round_id: int, schema
+    ) -> None:
+        """Interface parity with the parquet Catalog's local fast path;
+        Iceberg rows must go through the table's snapshot/commit
+        machinery, so this delegates to the engine writer."""
+        self.write_round(
+            self.spark.createDataFrame(rows, schema=schema), table, round_id
+        )
 
     def merge_upsert(self, df: DataFrame, table: str, keys: list[str]) -> None:
         """The literal S7 MERGE shape: insert rows whose key is absent

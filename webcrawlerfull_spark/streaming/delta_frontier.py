@@ -94,10 +94,22 @@ def _order():
 
 def band_size_for(cfg: C.CrawlConfig) -> int:
     """band_size >= budget guarantees a round's per-host read window
-    [consumed, consumed+budget) spans at most two band partitions."""
+    [consumed, consumed+budget) spans at most two band partitions —
+    backlog_and_bands collects only each host's lo and hi bands, so a
+    smaller band size would silently skip (and then compact away)
+    middle-band queue rows (ADVICE r6)."""
     if cfg.politeness_budget is None:
         raise ValueError("frontier_mode='delta' requires a politeness_budget")
-    return cfg.frontier_band_size or cfg.politeness_budget
+    band_size = cfg.frontier_band_size or cfg.politeness_budget
+    if band_size < cfg.politeness_budget:
+        raise ValueError(
+            f"frontier_band_size={band_size} < politeness_budget="
+            f"{cfg.politeness_budget}: a round's per-host window would "
+            "span more than two band partitions and middle-band rows "
+            "would be skipped then deleted by compaction; set "
+            "frontier_band_size >= politeness_budget (or leave it None)"
+        )
+    return band_size
 
 
 def assign_positions(

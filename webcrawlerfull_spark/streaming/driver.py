@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -123,6 +124,29 @@ def crawl(
     else:
         catalog.drop_rounds_after(committed)
         round_id = committed + 1
+        # frontier-mode mismatch on resume: the other layout's tables
+        # hold the real pending work, and without this guard the branch
+        # below would see an empty frontier/cursor and silently report
+        # the crawl finished (rounds_run=0) — mirror of the dedup-scheme
+        # guard (ADVICE r6)
+        has_delta_tables = bool(catalog.committed_rounds("frontier_cursor"))
+        has_merged_tables = bool(catalog.committed_rounds("frontier"))
+        if delta_mode and not has_delta_tables and has_merged_tables:
+            raise ValueError(
+                "resume mode mismatch: this catalog was written by a "
+                "frontier_mode='merged' crawl (frontier table present, "
+                "no frontier_cursor rounds) but this run uses "
+                "frontier_mode='delta'; resume with the original "
+                "frontier_mode"
+            )
+        if not delta_mode and has_delta_tables and not has_merged_tables:
+            raise ValueError(
+                "resume mode mismatch: this catalog was written by a "
+                "frontier_mode='delta' crawl (frontier_cursor rounds "
+                "present, no frontier table) but this run uses "
+                "frontier_mode='merged'; resume with the original "
+                "frontier_mode"
+            )
         if delta_mode:
             # finished iff the queue has drained (cursor backlog == 0)
             cursor = dfq.read_cursor(catalog, up_to_round=round_id)
@@ -392,14 +416,18 @@ def _run_rounds(
                     .select("status")
                     .distinct()
                     .collect()
-                } or {"<unstamped legacy state: md5 family>"}
+                } or {"<unstamped legacy state>"}
                 if found != {expect}:
                     raise ValueError(
                         "persisted doc_dedup_state was written under "
                         f"scheme(s) {sorted(found)} but this run uses "
                         f"{expect!r}; resume with the original "
                         "dedup_family/dedup_k/dedup_bands or start a "
-                        "fresh catalog"
+                        "fresh catalog. (State that predates the scheme "
+                        "marker is intentionally unresumable: its "
+                        "family/k/bands cannot be validated, and probing "
+                        "it under the wrong scheme would silently miss "
+                        "every near-duplicate.)"
                     )
                 dedup_scheme_checked = True
             ok_docs = docs.where(F.col("status") == "ok").select(
@@ -456,84 +484,102 @@ def _run_rounds(
             docs_for_cascade = docs.join(kept_ids, "doc_id", "left_semi")
             clock.lap("doc-dedup")
 
-        # ---- stage 3: cascade + seqgen + stats (narrow array exprs) -------
+        # ---- stages 3+4 OVERLAPPED (guide §2.6): the cascade→products
+        # chain and the next-frontier build are independent Spark jobs
+        # (products reads mentions/prior-products; next-frontier reads
+        # documents/scheduled/seen) — submitting them from two driver
+        # threads lets the second job's tasks back-fill executors freed
+        # by the first's straggler tail instead of idling the host
+        # between actions. Plans are CONSTRUCTED on the main thread
+        # (py4j Column trees + the cascade layer cache); only the write
+        # ACTIONS (and the products plan that needs the stored mentions
+        # parquet to exist) run in the pool. The commit invariant is
+        # unchanged: both chains join before the lineage marker lands.
         mentions, page_stats, page_arrays = run_cascade(docs_for_cascade)
         page_arrays.persist()
-        catalog.write_round(
-            mentions.withColumn("round", F.lit(round_id)), "mentions", round_id
-        )
-        catalog.write_round(
-            page_stats.withColumn("round", F.lit(round_id)),
-            "page_stats",
-            round_id,
-        )
-
-        clock.lap("cascade->mentions+page_stats")
-
-        # attribution reads the stored mentions parquet back — the cascade
-        # plan runs exactly once per round (J7)
-        mentions_stored = catalog.read_round("mentions", round_id)
+        mentions_df = mentions.withColumn("round", F.lit(round_id))
+        page_stats_df = page_stats.withColumn("round", F.lit(round_id))
         prior = catalog.read_all("products", up_to_round=round_id - 1)
-        # per-domain first touch (reference keeps url_first_found_by per
-        # domain, tasks.py:397) — a URL reachable from two seed domains
-        # keeps one attributed row per domain
-        new_products = first_touch(
-            mentions_stored, ["queue_pos", "parser_rank"], ["domain", "url"]
-        )
-        if prior is not None:
-            new_products = new_products.join(
-                prior.select("domain", "url"), ["domain", "url"], "left_anti"
-            )
-        new_products = new_products.select(
-            F.lit(cfg.task_id).alias("task_id"),
-            "domain",
-            "url",
-            "parser",
-            "depth",
-            F.lit(round_id).alias("round"),
-        )
         obs_products = Observation()
-        catalog.write_round(
-            new_products.observe(
-                obs_products, F.count(F.lit(1)).alias("products")
-            ),
-            "products",
-            round_id,
-        )
 
-        clock.lap("attribution+products")
+        def _products_chain() -> None:
+            catalog.write_round(mentions_df, "mentions", round_id)
+            catalog.write_round(page_stats_df, "page_stats", round_id)
+            # attribution reads the stored mentions parquet back — the
+            # cascade plan runs exactly once per round (J7)
+            mentions_stored = catalog.read_round("mentions", round_id)
+            # per-domain first touch (reference keeps url_first_found_by
+            # per domain, tasks.py:397) — a URL reachable from two seed
+            # domains keeps one attributed row per domain
+            new_products = first_touch(
+                mentions_stored, ["queue_pos", "parser_rank"],
+                ["domain", "url"],
+            )
+            if prior is not None:
+                new_products = new_products.join(
+                    prior.select("domain", "url"),
+                    ["domain", "url"],
+                    "left_anti",
+                )
+            catalog.write_round(
+                new_products.select(
+                    F.lit(cfg.task_id).alias("task_id"),
+                    "domain",
+                    "url",
+                    "parser",
+                    "depth",
+                    F.lit(round_id).alias("round"),
+                ).observe(obs_products, F.count(F.lit(1)).alias("products")),
+                "products",
+                round_id,
+            )
 
-        # ---- stage 4: next frontier (O2/O3 + J2) ---------------------------
         next_frontier = build_next_frontier(
             docs, scheduled, seen, cfg.max_depth, round_id, cfg.frontier_cap,
             seen_filters=seen_filters, cfg=cfg,
         )
+        if not delta_mode and cfg.politeness_budget is not None:
+            next_frontier = merge_deferred(next_frontier, _deferred)
+        obs_frontier = Observation()
+        frontier_result: dict = {}
+
+        def _frontier_chain() -> None:
+            if delta_mode:
+                # append-only: ONE delta write sized to this round's
+                # discoveries + the touched cursor rows; the backlog is
+                # never re-ranked or rewritten (BENCH §7.5's two flat
+                # O(|frontier|) intercepts were exactly here and in the
+                # schedule read above)
+                frontier_result["inserted"] = dfq.append_delta(
+                    catalog, next_frontier, scheduled, cursor, candidates,
+                    band_size, round_id,
+                )
+            else:
+                catalog.write_round(
+                    next_frontier.observe(
+                        obs_frontier, F.count(F.lit(1)).alias("rows")
+                    ),
+                    "frontier",
+                    round_id + 1,
+                )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(_products_chain),
+                pool.submit(_frontier_chain),
+            ]
+            for f in futs:
+                f.result()  # re-raise the first chain failure
+
         if delta_mode:
-            # append-only: ONE delta write sized to this round's
-            # discoveries + the touched cursor rows; the backlog is
-            # never re-ranked or rewritten (BENCH §7.5's two flat
-            # O(|frontier|) intercepts were exactly here and in the
-            # schedule read above)
-            inserted_n = dfq.append_delta(
-                catalog, next_frontier, scheduled, cursor, candidates,
-                band_size, round_id,
-            )
             disposed_n = int(obs_disposed.get["n"])
-            next_frontier_size = frontier_size - disposed_n + inserted_n
-        else:
-            if cfg.politeness_budget is not None:
-                next_frontier = merge_deferred(next_frontier, _deferred)
-            obs_frontier = Observation()
-            catalog.write_round(
-                next_frontier.observe(
-                    obs_frontier, F.count(F.lit(1)).alias("rows")
-                ),
-                "frontier",
-                round_id + 1,
+            next_frontier_size = (
+                frontier_size - disposed_n + frontier_result["inserted"]
             )
+        else:
             next_frontier_size = int(obs_frontier.get["rows"])
 
-        clock.lap("next-frontier")
+        clock.lap("cascade+products || next-frontier")
 
         # lineage LAST = the commit marker (A7 metrics, north-rule set).
         # All three counters were observed during this round's write
@@ -544,7 +590,10 @@ def _run_rounds(
         seen_total += fetched
         seen_card = seen_total
         wall_ms = int((time.monotonic() - t0) * 1000)
-        lineage_row = spark.createDataFrame(
+        # ONE driver-local row: written via the catalog's local fast
+        # path (pyarrow, no Spark job) — a full createDataFrame + write
+        # job cost ~0.3-0.5 s of pure fixed overhead per round (r7)
+        catalog.write_round_local(
             [
                 {
                     "task_id": cfg.task_id,
@@ -558,9 +607,10 @@ def _run_rounds(
                     "wall_ms": wall_ms,
                 }
             ],
-            schema=schemas.LINEAGE,
+            "lineage",
+            round_id,
+            schemas.LINEAGE,
         )
-        catalog.write_round(lineage_row, "lineage", round_id)
         clock.lap("counts+lineage")
 
         # MERGE-equivalent compaction AFTER the commit marker: rewrite the

@@ -31,6 +31,11 @@ import random
 from dataclasses import dataclass
 from urllib.parse import urlparse
 
+try:  # vectorized word stream (render hot path); stdlib fallback below
+    import numpy as _np
+except ImportError:  # pragma: no cover
+    _np = None
+
 
 def _digest(*parts) -> int:
     h = hashlib.sha256("|".join(str(p) for p in parts).encode()).digest()
@@ -49,6 +54,62 @@ _WORDS = (
     "professional essential exclusive limited edition signature deluxe ultra "
     "warranty shipping delivery returns support reviews ratings bestseller"
 ).split()
+
+class _WordStream:
+    """Byte-identical, vectorized replacement for repeated
+    ``g.choice(_WORDS)`` — the render hot path (~1.7k choice calls per
+    product page was 93% of World.fetch time, profiled r7).
+
+    CPython's ``Random.choice(seq)`` with ``len(seq) == 50`` consumes one
+    MT19937 output word per draw via ``getrandbits(6)`` (= genrand_uint32
+    >> 26), rejecting values >= 50. numpy's MT19937 bit generator shares
+    the state layout with ``random.Random.getstate()``, so ``random_raw``
+    yields the identical word sequence and the whole choice stream
+    vectorizes (verified word-for-word in tests/test_extras.py). Only
+    valid while nothing else consumes ``g`` afterwards — render()'s
+    category/product branches qualify (paragraph words are their sole
+    RNG use)."""
+
+    __slots__ = ("_bg", "_acc", "_pos")
+
+    # one bit-generator per process, re-stated per page: MT19937()
+    # construction runs SeedSequence.generate_state (~65us) whose output
+    # is immediately overwritten by the state assignment below. Python
+    # workers are single-task, and a _WordStream never outlives its
+    # render() call, so the shared generator is never aliased.
+    _BG = None
+
+    def __init__(self, g: random.Random, expect: int):
+        st = g.getstate()[1]
+        bg = _WordStream._BG
+        if bg is None:
+            bg = _WordStream._BG = _np.random.MT19937()
+        bg.state = {
+            "bit_generator": "MT19937",
+            "state": {
+                "key": _np.array(st[:-1], dtype=_np.uint32),
+                "pos": st[-1],
+            },
+        }
+        self._bg = bg
+        self._acc: list[int] = []
+        self._pos = 0
+        self._fill(expect)
+
+    def _fill(self, n: int) -> None:
+        while len(self._acc) - self._pos < n:
+            raw = self._bg.random_raw(max(256, int(n * 1.4)))
+            vals = raw >> _np.uint64(26)
+            self._acc = self._acc[self._pos :] + vals[vals < len(_WORDS)].tolist()
+            self._pos = 0
+
+    def words(self, n: int) -> list[str]:
+        self._fill(n)
+        w = _WORDS
+        out = [w[i] for i in self._acc[self._pos : self._pos + n]]
+        self._pos += n
+        return out
+
 
 # flavor -> (name template, product path builder)
 _FLAVORS = [
@@ -226,8 +287,22 @@ class World:
         def a(href, text):
             parts.append(f'<a href="{href}">{text}</a>')
 
+        # category/product pages consume g ONLY through paragraph words,
+        # so their whole choice stream can come from the vectorized
+        # _WordStream snapshot of g's state (identical byte output);
+        # home/blog interleave g.randrange with no paras — stdlib path
+        if _np is not None and kind == "category":
+            ws = _WordStream(g, 128 + params["per_page"] * 36)
+        elif _np is not None and kind == "product":
+            ws = _WordStream(g, 14 * 110 + 6 * 31)
+        else:
+            ws = None
+
         def para(n_words: int):
-            words = " ".join(g.choice(_WORDS) for _ in range(n_words))
+            if ws is not None:
+                words = " ".join(ws.words(n_words))
+            else:
+                words = " ".join(g.choice(_WORDS) for _ in range(n_words))
             parts.append(f"<p>{words}.</p>")
 
         if kind == "home":
