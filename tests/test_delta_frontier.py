@@ -309,3 +309,23 @@ def test_resume_frontier_mode_mismatch_raises(spark, tmp_path_factory):
             CrawlConfig(max_depth=3, politeness_budget=3, shuffle_partitions=8),
             world, Catalog(spark, delta_dir),
         )
+
+
+def test_delta_all_disposed_round(spark, tmp_path_factory):
+    """Inherited r6 bug (found in r7): a round whose WHOLE candidate
+    slice is disposed (dup-insert already fetched -> empty scheduled
+    write) made Observation.get raise — AQE's empty-relation propagation
+    dropped the observed candidates subtree from the final write plan
+    and the metrics row came back schema-less. The seed-42 / 4-host /
+    budget-3 world hits exactly that at round 10. The crawl must run to
+    drain and match parity mode's seen/product sets."""
+    world = World(seed=42, n_hosts=4, base_pages=40)
+    res_d, _ = _crawl(
+        spark, str(tmp_path_factory.mktemp("ad")), world,
+        max_depth=3, politeness_budget=3, frontier_mode="delta",
+    )
+    res_p, _ = _crawl(
+        spark, str(tmp_path_factory.mktemp("ap")), world, max_depth=3
+    )
+    assert _snap(res_d) == _snap(res_p)
+    assert res_d.rounds_run > res_p.rounds_run

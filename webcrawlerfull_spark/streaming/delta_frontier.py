@@ -273,13 +273,15 @@ def schedule_slice(
     been fetched since — bloom-gated exact, no false negatives), then
     stamp the dense per-domain fetch-order queue_pos every downstream
     consumer reads (first-touch attribution, floor(queue_pos/10) batch
-    visibility) — identical keys to plans.round.politeness_schedule."""
-    w_url = Window.partitionBy("url").orderBy(F.col("pos").asc())
-    slice_ = (
-        candidates.withColumn("_rn", F.row_number().over(w_url))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    visibility) — identical keys to plans.round.politeness_schedule.
+
+    The keep-first dedup is the first_touch min(struct) aggregate (r7,
+    VERDICT r6 finding #2): map-side partial aggregation instead of a
+    full window shuffle+sort of the slice. ``pos`` is unique per host
+    and a URL belongs to one host, so the order key is tie-free."""
+    from webcrawlerfull_spark.operators.attribution import first_touch
+
+    slice_ = first_touch(candidates, ["pos"], ["url"])
     unseen = bloom.seen_anti_join(
         slice_, seen, seen_filters, cfg.bloom_buckets,
         cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,

@@ -572,7 +572,24 @@ def _run_rounds(
                 f.result()  # re-raise the first chain failure
 
         if delta_mode:
-            disposed_n = int(obs_disposed.get["n"])
+            # obs_disposed is the one observation in the driver whose
+            # CollectMetrics node sits BELOW further transformations
+            # (it observes the candidates frame; the scheduled write
+            # wraps it in dedup + anti-join + rank). When a round's
+            # whole slice is disposed (scheduled write is EMPTY), AQE's
+            # runtime empty-relation propagation replaces the observed
+            # subtree in the final write plan and the metrics row comes
+            # back schema-less — Observation.get then raises from
+            # toPyRow (inherited r6 bug, reproduced deterministically
+            # at round 10 of the seed-42/4-host/budget-3 world; see
+            # tests/test_delta_frontier.py::test_delta_all_disposed_round).
+            # Fallback: count the persisted candidates frame — already
+            # materialized this round, so it is a cached-scan count,
+            # and it only runs in the rare all-disposed round.
+            try:
+                disposed_n = int(obs_disposed.get["n"])
+            except Exception:
+                disposed_n = candidates.count()
             next_frontier_size = (
                 frontier_size - disposed_n + frontier_result["inserted"]
             )
