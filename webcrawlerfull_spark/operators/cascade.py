@@ -203,22 +203,45 @@ def _static_cascade_layers() -> dict:
                 _link_urls(F.col("link_spans")).alias("_urls"),
                 P.config_key(P.url_authority(F.col("url"))).alias("_cfg_key"),
             ],
-            # L2: parser arrays from the helpers (helpers dropped here)
+            # L2: the always-run simple parser (helpers carried on —
+            # the config chain still needs them in L4)
             "l2": carry2
             + [
+                F.col("_urls"),
+                F.col("_cfg_key"),
                 _matched_products(urls, P.SIMPLE_COMBINED).alias("simple_arr"),
-                _config_products(urls, F.col("_cfg_key")).alias("config_arr"),
             ],
-            # L3: early-exit flags + config delta
+            # L3: early-exit flag FIRST, so L4 can gate the config
+            # parser's whole regex pass on it
             "l3": carry2
             + [
+                F.col("_urls"),
+                F.col("_cfg_key"),
                 F.col("simple_arr"),
-                F.col("config_arr"),
                 (F.size("simple_arr") < C.CASCADE_EARLY_EXIT).alias(
                     "config_ran"
                 ),
             ],
+            # L4: config parser runs ONLY below the early-exit threshold
+            # (r7): CASE short-circuiting skips the per-flavor regex
+            # pass over the page's anchor array for every page the
+            # cascade would exit early on anyway — observably identical
+            # because every consumer reads config_arr behind a
+            # when(config_ran, ...) guard (page_stats, the o7 gate
+            # entry) or through config_only (itself gated). Helpers
+            # dropped here.
             "l4": carry2
+            + [
+                F.col("simple_arr"),
+                F.col("config_ran"),
+                F.when(
+                    F.col("config_ran"),
+                    _config_products(urls, F.col("_cfg_key")),
+                )
+                .otherwise(empty)
+                .alias("config_arr"),
+            ],
+            "l5c": carry2
             + [
                 F.col("simple_arr"),
                 F.col("config_arr"),
@@ -329,6 +352,7 @@ def run_cascade(
         .select(*layers["l2"])
         .select(*layers["l3"])
         .select(*layers["l4"])
+        .select(*layers["l5c"])
         .select(*layers["l5"])
         .select(*layers["l6"])
         .select(*layers["l7"])
