@@ -343,16 +343,26 @@ def _run_rounds(
             round_id,
         )
         scheduled = catalog.read_round("scheduled", round_id)
+        bloom_fut = bloom_pool = None
         if cfg.use_bloom:
             # touched-bucket-only delta (the MERGE shape): the reader
             # reconstructs live state as latest-row-per-bucket, so a
-            # round persists only the buckets it actually updated
+            # round persists only the buckets it actually updated.
+            # Written from a driver thread OVERLAPPED with the fetch/
+            # cascade stages (r7, guide §2.6): nothing in THIS round
+            # reads the round's own bloom delta (build_next_frontier
+            # probes the pre-round ``seen_filters``; the next round
+            # reads the state after the commit marker), so the write
+            # only has to be joined before lineage lands.
             new_filters = update_filters(
                 scheduled.select("url"), seen_filters, cfg.bloom_buckets,
                 cfg.bloom_capacity_per_bucket, cfg.bloom_fpp,
                 touched_only=True,
             )
-            catalog.write_round(new_filters, "seen_bloom", round_id)
+            bloom_pool = ThreadPoolExecutor(max_workers=1)
+            bloom_fut = bloom_pool.submit(
+                catalog.write_round, new_filters, "seen_bloom", round_id
+            )
 
         clock.lap("schedule+bloom")
 
@@ -595,6 +605,10 @@ def _run_rounds(
             )
         else:
             next_frontier_size = int(obs_frontier.get["rows"])
+
+        if bloom_fut is not None:
+            bloom_fut.result()  # bloom delta must land before the marker
+            bloom_pool.shutdown()
 
         clock.lap("cascade+products || next-frontier")
 
