@@ -573,13 +573,20 @@ def _run_rounds(
                     round_id + 1,
                 )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [
-                pool.submit(_products_chain),
-                pool.submit(_frontier_chain),
-            ]
-            for f in futs:
-                f.result()  # re-raise the first chain failure
+        try:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(_products_chain),
+                    pool.submit(_frontier_chain),
+                ]
+                for f in futs:
+                    f.result()  # re-raise the first chain failure
+        finally:
+            # join the bloom writer even when a chain fails (no thread
+            # leak into a surviving session); failures surface below on
+            # the success path, before the commit marker
+            if bloom_pool is not None:
+                bloom_pool.shutdown(wait=True)
 
         if delta_mode:
             # obs_disposed is the one observation in the driver whose
@@ -608,7 +615,6 @@ def _run_rounds(
 
         if bloom_fut is not None:
             bloom_fut.result()  # bloom delta must land before the marker
-            bloom_pool.shutdown()
 
         clock.lap("cascade+products || next-frontier")
 
