@@ -227,3 +227,34 @@ def test_mid_round_crash_window_matrix(
     )
     assert lin == lin_ref
     assert res.seen.groupBy("url").count().where(F.col("count") > 1).count() == 0
+
+
+def test_write_round_local_stale_scratch_ignored(spark, tmp_path_factory):
+    """r7: the local (pyarrow) lineage writer stages in a dot-prefixed
+    scratch dir. A crash between its _SUCCESS write and the swap must
+    leave committed_rounds()/read_all() working (the scratch is ignored,
+    not parsed as a round dir) and the next write must succeed."""
+    import os
+
+    from webcrawlerfull_spark import schemas
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("lw")))
+    row = {
+        "task_id": "t", "round": 0, "frontier_size": 1,
+        "seen_cardinality": 1, "fetched": 1, "parsed": 1, "products": 0,
+        "docs_deduped": 0, "wall_ms": 5,
+    }
+    cat.write_round_local([row], "lineage", 0, schemas.LINEAGE)
+    # simulate the crash window: a committed-looking scratch dir
+    stale = os.path.join(cat._dir("lineage"), ".local=1.inprogress")
+    os.makedirs(stale)
+    open(os.path.join(stale, "_SUCCESS"), "w").close()
+    assert cat.committed_rounds("lineage") == [0]
+    row1 = dict(row, round=1)
+    cat.write_round_local([row1], "lineage", 1, schemas.LINEAGE)
+    assert cat.committed_rounds("lineage") == [0, 1]
+    got = {
+        (r["round"], r["fetched"])
+        for r in cat.read_all("lineage").collect()
+    }
+    assert got == {(0, 1), (1, 1)}

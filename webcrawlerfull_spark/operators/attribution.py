@@ -6,16 +6,18 @@ order: rounds ascending, pages in frontier order within a round
 (queue_pos), parsers in cascade order within a page (parser_rank; the
 sequential generator runs after the cascade, rank 3).
 
-Shape (r7): ``groupBy(keys).agg(min(struct(order_cols, payload)))`` —
-a hash aggregate with MAP-SIDE partial aggregation, so the exchange
-carries at most one row per (key, map task) and no sort ever runs.
-The former ``row_number() == 1`` window shuffled every mention row and
-sorted each partition (WindowGroupLimit trimmed the post-shuffle rows
-but still sorted map-side). Equivalent output because every engine
-call site has order keys that are UNIQUE within a partition key (page
-rank × parser rank within a domain; (orderkey, linenumber) in the gate
-query) — on a genuine tie min(struct) falls back to comparing the
-payload columns, where row_number picked an arbitrary row.
+Shape (r7): ``groupBy(keys).agg(min(struct(order_cols, payload)))``
+with MAP-SIDE partial aggregation, so the exchange carries at most one
+row per (key, map task). min over a struct compiles to SortAggregate,
+so a map-side sort remains — the win over the former
+``row_number() == 1`` window is the removed Window/row_number/Filter
+machinery on both sides of the exchange (plan evidence:
+plans/r07/j7_first_touch_{before,after}.txt). Equivalent output because
+every engine call site has order keys that are UNIQUE within a
+partition key (page rank × parser rank within a domain; (orderkey,
+linenumber) in the gate query) — on a genuine tie min(struct) falls
+back to comparing the payload columns, where row_number picked an
+arbitrary row.
 """
 
 from __future__ import annotations

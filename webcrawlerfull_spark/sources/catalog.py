@@ -137,7 +137,11 @@ class Catalog:
         )
         cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
         d = self._dir(table, round_id)
-        tmp = d + ".inprogress"
+        # dot-prefixed tmp name: _dir_rounds only recognizes "r=" dirs,
+        # so a crash between the _SUCCESS write and the swap leaves an
+        # ignored scratch dir (NOT a half-round that int() would choke
+        # on), overwritten by the next attempt
+        tmp = os.path.join(self._dir(table), f".local={round_id}.inprogress")
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         pq.write_table(
