@@ -258,3 +258,31 @@ def test_write_round_local_stale_scratch_ignored(spark, tmp_path_factory):
         for r in cat.read_all("lineage").collect()
     }
     assert got == {(0, 1), (1, 1)}
+
+
+def test_lineage_mixed_writer_rounds_read_as_one(spark, tmp_path_factory):
+    """r7: resuming a catalog whose earlier lineage rounds were written
+    by the Spark writer with the new pyarrow local writer must read
+    back as one table (schema parity across the two writers)."""
+    from webcrawlerfull_spark import schemas
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("mix")))
+    row0 = {
+        "task_id": "t", "round": 0, "frontier_size": 2,
+        "seen_cardinality": 2, "fetched": 2, "parsed": 2, "products": 1,
+        "docs_deduped": 0, "wall_ms": 7,
+    }
+    # round 0 via the ENGINE writer (how r6 catalogs wrote lineage)
+    cat.write_round(
+        spark.createDataFrame([row0], schema=schemas.LINEAGE), "lineage", 0
+    )
+    # round 1 via the LOCAL writer (how r7 writes it)
+    row1 = dict(row0, round=1, fetched=3)
+    cat.write_round_local([row1], "lineage", 1, schemas.LINEAGE)
+    df = cat.read_all("lineage")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        f.dataType.simpleString() for f in schemas.LINEAGE.fields
+    ]
+    got = sorted((r["round"], r["fetched"]) for r in df.collect())
+    assert got == [(0, 2), (1, 3)]
+    assert cat.max_committed_round() == 1
