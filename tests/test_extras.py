@@ -161,3 +161,65 @@ def test_wordstream_render_byte_identical():
         finally:
             sg._np = saved
         assert new == old
+
+
+def test_factored_regex_match_equivalence(spark):
+    """r7 optimization pin: factored_regex (the execution-side regex with
+    the shared leading '/' hoisted out of the alternation) must accept
+    exactly the same strings as combined_regex — the frozen form the
+    DuckDB oracle SQL interpolates. Checked with Python re over world
+    anchor URLs + deterministic fuzz, and through Spark's actual Java
+    rlike path for the two hot pattern sets."""
+    import random
+    import re
+
+    import webcrawlerfull_spark.config as C
+    import webcrawlerfull_spark.synthgen as sg
+    from webcrawlerfull_spark.operators.parse_spans import spans_columns
+
+    pattern_sets = [
+        C.PATTERNS,
+        C.PAGINATION_PATTERNS,
+        C.CATEGORY_PRIORITY_PATTERNS,
+        *C.DOMAIN_PATTERNS.values(),
+    ]
+
+    w = sg.World(seed=7, n_hosts=40, base_pages=200, cat_min=8, cat_span=4,
+                 per_page_min=30, per_page_span=20, max_pag=6)
+    urls: list[str] = []
+    frontier = w.seeds()[:20]
+    for _ in range(3):
+        nxt = []
+        for u in frontier[:40]:
+            html = w.fetch(u)
+            if html is None:
+                continue
+            k, _, r = spans_columns(html, u, u.split("://")[1].split("/")[0])
+            for kk, rr in zip(k, r):
+                if kk in ("link", "pagination"):
+                    urls.append(rr)
+                    nxt.append(rr)
+        frontier = nxt
+    assert len(urls) > 500
+
+    rng = random.Random(1)
+    alphabet = "abcXYZ019-_/=.?&#%"
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 90)))
+        for _ in range(20000)
+    ]
+    corpus = urls + fuzz
+    for pats in pattern_sets:
+        ro = re.compile(C.combined_regex(pats))
+        rn = re.compile(C.factored_regex(pats))
+        for s in corpus:
+            assert bool(ro.search(s)) == bool(rn.search(s)), (pats, s)
+
+    # Java-side check through real rlike for the two hottest sets
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    for pats in (C.PATTERNS, C.PAGINATION_PATTERNS):
+        old_n = df.where(F.col("s").rlike(C.combined_regex(pats))).count()
+        new_n = df.where(F.col("s").rlike(C.factored_regex(pats))).count()
+        assert old_n == new_n

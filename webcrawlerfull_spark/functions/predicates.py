@@ -16,23 +16,35 @@ CATEGORY_COMBINED = C.combined_regex(C.CATEGORY_PRIORITY_PATTERNS)
 IMPORTANT_COMBINED = "|".join(C.IMPORTANT_URL_KEYWORDS)
 _DOMAIN_COMBINED = {k: C.combined_regex(v) for k, v in C.DOMAIN_PATTERNS.items()}
 
+# Execution-side twins (r7, guide §1.2 per-task work): same matched
+# language with the shared leading '/' factored out of the alternation —
+# ~3x cheaper per Java-regex probe (see config.factored_regex). The
+# *_COMBINED constants above are FROZEN: the DuckDB oracle SQL text
+# interpolates them verbatim, so only these twins may be used in Spark
+# expressions. Equality of the match sets is pinned by
+# tests/test_extras.py::test_factored_regex_match_equivalence.
+SIMPLE_FAST = C.factored_regex(C.PATTERNS)
+PAGINATION_FAST = C.factored_regex(C.PAGINATION_PATTERNS)
+CATEGORY_FAST = C.factored_regex(C.CATEGORY_PRIORITY_PATTERNS)
+_DOMAIN_FAST = {k: C.factored_regex(v) for k, v in C.DOMAIN_PATTERNS.items()}
+
 
 def is_product_url(url: Column) -> Column:
     """P5 — any of the 22 generic patterns (reference SimpleParser,
     worker/src/utils/config.py:44-74), matched on the absolute URL."""
-    return url.rlike(SIMPLE_COMBINED)
+    return url.rlike(SIMPLE_FAST)
 
 
 def is_pagination_url(url_or_href: Column) -> Column:
     """P4 (URL-pattern half) — reference tests the raw href
     (worker/src/tasks.py:94-98)."""
-    return url_or_href.rlike(PAGINATION_COMBINED)
+    return url_or_href.rlike(PAGINATION_FAST)
 
 
 def category_priority(url: Column) -> Column:
     """P7 — 0 for category-like URLs (crawled first), 1 otherwise
     (worker/src/tasks.py:513-526)."""
-    return F.when(url.rlike(CATEGORY_COMBINED), F.lit(0)).otherwise(F.lit(1))
+    return F.when(url.rlike(CATEGORY_FAST), F.lit(0)).otherwise(F.lit(1))
 
 
 def is_important_url(url: Column) -> Column:
@@ -54,7 +66,7 @@ def config_key(netloc: Column) -> Column:
 def config_product_match(url: Column, key: Column) -> Column:
     """P6 match — the key-selected pattern set, on the absolute URL."""
     expr = F.lit(False)
-    for k, combined in _DOMAIN_COMBINED.items():
+    for k, combined in _DOMAIN_FAST.items():
         expr = F.when(key == F.lit(k), url.rlike(combined)).otherwise(expr)
     return expr
 

@@ -61,8 +61,8 @@ def _matched_products(urls: Column, pattern: str) -> Column:
 
 
 def _config_products(urls: Column, key: Column) -> Column:
-    expr = _matched_products(urls, P.SIMPLE_COMBINED)  # 'default' key
-    for k, combined in P._DOMAIN_COMBINED.items():
+    expr = _matched_products(urls, P.SIMPLE_FAST)  # 'default' key
+    for k, combined in P._DOMAIN_FAST.items():
         if k == "default":
             continue
         expr = F.when(key == F.lit(k), _matched_products(urls, combined)).otherwise(
@@ -209,7 +209,7 @@ def _static_cascade_layers() -> dict:
             + [
                 F.col("_urls"),
                 F.col("_cfg_key"),
-                _matched_products(urls, P.SIMPLE_COMBINED).alias("simple_arr"),
+                _matched_products(urls, P.SIMPLE_FAST).alias("simple_arr"),
             ],
             # L3: early-exit flag FIRST, so L4 can gate the config
             # parser's whole regex pass on it
