@@ -223,3 +223,47 @@ def test_factored_regex_match_equivalence(spark):
         old_n = df.where(F.col("s").rlike(C.combined_regex(pats))).count()
         new_n = df.where(F.col("s").rlike(C.factored_regex(pats))).count()
         assert old_n == new_n
+
+
+def test_first_touch_products_matches_generic(spark):
+    """r7 optimization pin: the packed HashAggregate specialization of
+    the products-chain attribution must pick exactly the rows the
+    generic struct-min first_touch picks, including multi-domain urls,
+    rank ties across pages, and depth recovery."""
+    from webcrawlerfull_spark.operators.attribution import (
+        first_touch,
+        first_touch_products,
+    )
+
+    rows = []
+    # url seen by several pages/parsers across two domains
+    for dom in ("d1", "d2"):
+        rows += [
+            # (page_url, host, domain, depth, queue_pos, url, parser, parser_rank)
+            (f"{dom}/pg9", "h", dom, 2, 9, "u/x", "sequential", 3),
+            (f"{dom}/pg3", "h", dom, 1, 3, "u/x", "config", 1),
+            (f"{dom}/pg3b", "h", dom, 1, 7, "u/x", "simple", 0),
+            (f"{dom}/pg1", "h", dom, 0, 1, "u/y", "ai", 2),
+        ]
+    rows += [("d1/pg0", "h", "d1", 3, 0, "u/z", "simple", 0)]
+    m = spark.createDataFrame(
+        rows,
+        "page_url string, host string, domain string, depth int, "
+        "queue_pos long, url string, parser string, parser_rank int",
+    )
+    for max_depth in (3, 1000):
+        fast = first_touch_products(m, max_depth)
+        assert fast is not None
+        got = {
+            (r["domain"], r["url"]): (r["parser"], r["depth"])
+            for r in fast.collect()
+        }
+        ref = first_touch(m, ["queue_pos", "parser_rank"], ["domain", "url"])
+        want = {
+            (r["domain"], r["url"]): (r["parser"], r["depth"])
+            for r in ref.collect()
+        }
+        assert got == want
+    assert fast.schema["depth"].dataType.simpleString() == "int"
+    # absurd depth -> generic fallback signal
+    assert first_touch_products(m, 1 << 60) is None

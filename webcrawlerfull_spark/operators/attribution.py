@@ -26,6 +26,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def first_touch_products(
+    mentions: DataFrame, max_depth: int
+) -> DataFrame | None:
+    """The crawl products chain's specialization of ``first_touch``
+    (partition (domain, url), order (queue_pos, parser_rank)) that
+    compiles to a codegen'd HashAggregate instead of the SortAggregate
+    that min-over-struct forces (r7, guide §2.3 — the map-side sort of
+    every mention partition was the products stage's dominant cost).
+
+    Returns (domain, url, parser, depth) of each (domain, url)'s first
+    mention, or None when ``max_depth`` is too large for the packing
+    (caller falls back to the generic ``first_touch``).
+
+    Equivalence: within one page (queue_pos) a product url appears in at
+    most ONE parser array (config_only/ai_only/seq_arr are disjoint from
+    the earlier ranks by construction, and each array is distinct), so
+    (domain, url, queue_pos) is already unique — min over a packed
+    bigint with queue_pos in the high bits picks exactly the row the
+    lexicographic (queue_pos, parser_rank) struct-min picked, and the
+    winning row's parser_rank and depth ride in the low bits as payload
+    (depth <= max_depth and parser_rank < 4 bound the fields; queue_pos
+    is a within-round row position, far below the remaining 2^45+)."""
+    depth_bits = max(4, int(max_depth).bit_length() + 1)
+    if depth_bits + 2 + 45 > 63:
+        return None
+    shift_rank = depth_bits
+    shift_pos = depth_bits + 2
+    packed = (
+        F.col("queue_pos") * F.lit(1 << shift_pos)
+        + F.col("parser_rank").cast("long") * F.lit(1 << shift_rank)
+        + F.col("depth").cast("long")
+    )
+    winners = mentions.groupBy("domain", "url").agg(
+        F.min(packed).alias("_p")
+    )
+    rank = F.shiftright(F.col("_p"), shift_rank).bitwiseAND(F.lit(3))
+    from webcrawlerfull_spark.operators.cascade import PARSER_RANK
+
+    parser = F.lit(None).cast("string")
+    for name, r in PARSER_RANK.items():
+        parser = F.when(rank == F.lit(r), F.lit(name)).otherwise(parser)
+    depth = F.col("_p").bitwiseAND(F.lit((1 << depth_bits) - 1)).cast("int")
+    return winners.select(
+        "domain", "url", parser.alias("parser"), depth.alias("depth")
+    )
+
+
 def first_touch(
     mentions: DataFrame,
     order_cols: list[str] | None = None,

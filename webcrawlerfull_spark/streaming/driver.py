@@ -35,7 +35,10 @@ from webcrawlerfull_spark.operators.bloom import (
     scheme_ok,
     update_filters,
 )
-from webcrawlerfull_spark.operators.attribution import first_touch
+from webcrawlerfull_spark.operators.attribution import (
+    first_touch,
+    first_touch_products,
+)
 from webcrawlerfull_spark.operators.cascade import run_cascade
 from webcrawlerfull_spark.operators.textdedup import (
     dedup_scheme,
@@ -520,11 +523,17 @@ def _run_rounds(
             mentions_stored = catalog.read_round("mentions", round_id)
             # per-domain first touch (reference keeps url_first_found_by
             # per domain, tasks.py:397) — a URL reachable from two seed
-            # domains keeps one attributed row per domain
-            new_products = first_touch(
-                mentions_stored, ["queue_pos", "parser_rank"],
-                ["domain", "url"],
+            # domains keeps one attributed row per domain. The packed
+            # HashAggregate specialization (r7) picks the identical row;
+            # the generic struct-min is the fallback for absurd depths.
+            new_products = first_touch_products(
+                mentions_stored, cfg.max_depth
             )
+            if new_products is None:
+                new_products = first_touch(
+                    mentions_stored, ["queue_pos", "parser_rank"],
+                    ["domain", "url"],
+                )
             if prior is not None:
                 new_products = new_products.join(
                     prior.select("domain", "url"),
