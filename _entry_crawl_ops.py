@@ -118,10 +118,23 @@ _registered: dict = {}
 def _register(spark: SparkSession, sf_dir: str) -> None:
     if _registered.get("session") is spark and _registered.get("dir") == sf_dir:
         return
-    for t in _TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(t)
+    # each registration is ~100 ms of driver-side footer/schema work
+    # (measured r7) and the tables are independent — a small thread pool
+    # overlaps the py4j round trips (guide §2.6); ~1.1 s -> ~0.3 s
+    from concurrent.futures import ThreadPoolExecutor
+
+    present = [
+        (t, os.path.join(sf_dir, f"{t}.parquet"))
+        for t in _TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    ]
+
+    def reg(tp: tuple[str, str]) -> None:
+        t, path = tp
+        spark.read.parquet(path).createOrReplaceTempView(t)
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(present)))) as pool:
+        list(pool.map(reg, present))
     _registered["session"] = spark
     _registered["dir"] = sf_dir
 
