@@ -92,18 +92,18 @@ def _pat_idx(u: Column) -> Column:
     return expr
 
 
-def _seq_generated(products_sorted: Column) -> Column:
-    """G1 as array expressions: sample = first 10 sorted; page pattern =
-    min matched index over the sample; generate n±1..3 (decrement only
-    when positive — exactly the reference's num > i guard); exclude the
-    page's own products; sorted 30-cap.
-
-    Expression-size note: the per-URL pattern metadata (pat, g0, g1) is
-    computed ONCE into struct arrays and referenced by FIELD afterwards.
-    Writing it "naturally" (every use re-deriving page_pat → sample →
-    products) inlines the whole subtree at each reference after Catalyst
-    project-collapse — the tree grows combinatorially and the optimizer
-    alone took ~40s/plan at bench scale."""
+def _seq_metas(products_sorted: Column) -> Column:
+    """G1 layer 1: per-sample-URL pattern metadata (url, pat, g0, g1)
+    as ONE struct array, gated on the ≥3-products threshold so
+    ineligible pages skip the regex walk entirely (CASE
+    short-circuit). Materialized as a helper COLUMN (see
+    _static_cascade_layers note 2): the downstream page_pat / matched /
+    generated expressions each reference the array by NAME. Inlining
+    this tree at every use site instead re-ran the per-URL
+    regexp_extract chain once per reference — measured 3.85 → 1.33 s
+    on the 216k-page cascade noop (r7): neither interpreted projection
+    nor HOF lambda evaluation performs common-subexpression
+    elimination, so structural sharing is the only sharing there is."""
     sample = F.slice(products_sorted, 1, C.SEQGEN_SAMPLE)
     metas = F.transform(
         sample, lambda u: F.struct(u.alias("url"), _pat_idx(u).alias("pat"))
@@ -126,8 +126,22 @@ def _seq_generated(products_sorted: Column) -> Column:
             g1.alias("g1"),
         )
 
-    metas = F.transform(metas, with_groups)
-    page_pat = F.array_min(F.transform(metas, lambda m: m["pat"]))
+    return F.when(
+        F.size(products_sorted) >= C.SEQGEN_MIN_PRODUCTS,
+        F.transform(metas, with_groups),
+    )
+
+
+def _seq_generated(
+    products_sorted: Column, metas: Column, page_pat: Column
+) -> Column:
+    """G1 layer 3: sample = first 10 sorted; page pattern = min matched
+    index over the sample; generate n±1..3 (decrement only when
+    positive — exactly the reference's num > i guard); exclude the
+    page's own products; sorted 30-cap. ``metas``/``page_pat`` are the
+    layered helper columns (_seq_metas / array_min over it); for
+    ineligible pages metas is NULL and the size guard short-circuits
+    before touching it."""
     matched = F.filter(metas, lambda m: m["pat"] == page_pat)
 
     def gen_for(m: Column) -> Column:
@@ -146,7 +160,8 @@ def _seq_generated(products_sorted: Column) -> Column:
     generated = F.array_distinct(F.flatten(F.transform(matched, gen_for)))
     fresh = F.array_sort(F.array_except(generated, products_sorted))
     return F.when(
-        (F.size(products_sorted) >= C.SEQGEN_MIN_PRODUCTS) & (page_pat != _NO_PATTERN),
+        (F.size(products_sorted) >= C.SEQGEN_MIN_PRODUCTS)
+        & (page_pat != _NO_PATTERN),
         F.slice(fresh, 1, C.SEQGEN_MAX_URLS),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -294,9 +309,21 @@ def _static_cascade_layers() -> dict:
                     F.concat("simple_arr", "config_only", "ai_only")
                 ).alias("products_sorted"),
             ],
-            "l8_seq": _seq_generated(F.col("products_sorted")).alias(
-                "seq_arr"
+            # L8 in three helper-column steps (see _seq_metas): the
+            # struct-array metadata and the page pattern are materialized
+            # as named columns so the seq expression references them
+            # instead of re-inlining the regex subtree per use site
+            "l8a_metas": _seq_metas(F.col("products_sorted")).alias(
+                "_seq_metas"
             ),
+            "l8b_pat": F.array_min(
+                F.transform(F.col("_seq_metas"), lambda m: m["pat"])
+            ).alias("_seq_pat"),
+            "l8_seq": _seq_generated(
+                F.col("products_sorted"),
+                F.col("_seq_metas"),
+                F.col("_seq_pat"),
+            ).alias("seq_arr"),
             "mentions_explode": F.explode(
                 F.concat(
                     _tagged("simple_arr", "simple"),
@@ -356,7 +383,10 @@ def run_cascade(
         .select(*layers["l5"])
         .select(*layers["l6"])
         .select(*layers["l7"])
+        .withColumn("_seq_metas", layers["l8a_metas"])
+        .withColumn("_seq_pat", layers["l8b_pat"])
         .withColumn("seq_arr", layers["l8_seq"])
+        .drop("_seq_metas", "_seq_pat")
     )
 
     mentions = enriched.select(
