@@ -52,3 +52,53 @@ def test_seqgen_matches_oracle(spark):
         assert got.get(pg, []) == expected, (
             f"{pg}: {got.get(pg, [])} != {expected}"
         )
+
+
+def test_cascade_seq_layers_match_row_operator(spark):
+    """r7 optimization pin: the cascade's LAYERED array-expression form
+    of G1 (_seq_metas / _seq_pat helper columns + _seq_generated) must
+    produce the same generated set per page as the independent
+    row-based operator, across the PAGES edge cases (<3 products,
+    no-pattern pages, num<=i decrement suppression, >10-product
+    sampling)."""
+    from pyspark.sql import functions as F
+
+    from webcrawlerfull_spark.operators import cascade as CS
+
+    rows = [
+        {"page_url": pg, "products_sorted": sorted(urls)}
+        for pg, urls in PAGES.items()
+    ]
+    df = spark.createDataFrame(rows)
+    layered = (
+        df.withColumn("_seq_metas", CS._seq_metas(F.col("products_sorted")))
+        .withColumn(
+            "_seq_pat",
+            F.array_min(
+                F.transform(F.col("_seq_metas"), lambda m: m["pat"])
+            ),
+        )
+        .withColumn(
+            "seq_arr",
+            CS._seq_generated(
+                F.col("products_sorted"),
+                F.col("_seq_metas"),
+                F.col("_seq_pat"),
+            ),
+        )
+    )
+    got = {
+        r["page_url"]: list(r["seq_arr"]) for r in layered.collect()
+    }
+
+    flat = [
+        {"page_url": pg, "url": u} for pg, urls in PAGES.items() for u in urls
+    ]
+    row_out = generate_sequential_urls(
+        spark.createDataFrame(flat), "page_url", "url"
+    )
+    want: dict = {pg: [] for pg in PAGES}
+    for r in row_out.collect():
+        want[r["page_url"]].append(r["url"])
+    want = {pg: sorted(v)[: 30] for pg, v in want.items()}
+    assert got == want
